@@ -1,0 +1,30 @@
+"""dolfinx_materials_tpu — a TPU-native constitutive-material + FEM framework.
+
+A from-scratch rebuild of the capabilities of ``dolfinx_materials`` (reference:
+bleyerj/dolfinx_materials v0.4.0) designed TPU-first:
+
+- batched constitutive updates as ``jax.vmap``-ed / Pallas kernels over Gauss points
+  (reference: dolfinx_materials/jaxmat.py:147-155 uses eqx.filter_jit(filter_vmap(jacfwd))),
+- consistent tangents via implicit-function-theorem custom roots (never unrolled Newton),
+- an HBM-resident SoA state manager with s0/s1 double-buffering
+  (reference: dolfinx_materials/generic.py:204-295),
+- a standalone TPU-native FEM layer (structured meshes, Lagrange elements, quadrature,
+  einsum assembly, matrix-free Newton-Krylov) replacing the reference's DOLFINx/PETSc
+  host stack (reference: dolfinx_materials/quadrature_map.py, solvers.py),
+- multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` over the Gauss-point /
+  element axis (replacing the reference's MPI domain decomposition).
+"""
+
+__version__ = "0.1.0"
+
+
+class PerformanceWarning(UserWarning):
+    """Warns of a performance-degrading fallback path.
+
+    Mirrors the reference's category (dolfinx_materials/__init__.py:12-15), raised e.g.
+    when a Python-loop or interpret-mode path is taken instead of a compiled kernel.
+    """
+
+
+from .material import Material  # noqa: E402,F401
+from .state import DataManager, MaterialStateManager  # noqa: E402,F401

@@ -1,0 +1,16 @@
+"""Constitutive model library (the rebuild of the jaxmat/MFront behavior sets).
+
+Every behavior is a plain-Python object exposing the protocol of
+:class:`~dolfinx_materials_tpu.models.base.Behavior`; per-point updates are pure jnp
+functions, batched by the :class:`~dolfinx_materials_tpu.material.Material` adapter.
+"""
+
+from .base import Behavior, SmallStrainBehavior, FiniteStrainBehavior  # noqa: F401
+from .elasticity import LinearElasticIsotropic  # noqa: F401
+from .hardening import (  # noqa: F401
+    LinearHardening,
+    VoceHardening,
+    SwiftHardening,
+    RambergOsgoodHardening,
+)
+from .plasticity import vonMisesIsotropicHardening, GeneralIsotropicHardening  # noqa: F401
