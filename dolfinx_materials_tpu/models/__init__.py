@@ -13,4 +13,19 @@ from .hardening import (  # noqa: F401
     SwiftHardening,
     RambergOsgoodHardening,
 )
-from .plasticity import vonMisesIsotropicHardening, GeneralIsotropicHardening  # noqa: F401
+from .plasticity import (  # noqa: F401
+    GeneralIsotropicHardening,
+    hosford_norm,
+    vonMisesIsotropicHardening,
+)
+from .hyperelasticity import (  # noqa: F401
+    HyperelasticBehavior,
+    NeoHooke,
+    Ogden,
+    SaintVenantKirchhoff,
+)
+from .finite_strain import FeFpJ2Plasticity, HenckyFiniteStrain  # noqa: F401
+from .viscoplasticity import (  # noqa: F401
+    GeneralizedStandardMaterial,
+    NortonViscoplasticity,
+)

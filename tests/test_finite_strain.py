@@ -1,0 +1,201 @@
+"""Finite-strain model tests: hyperelasticity (SVK, neo-Hooke, Ogden), FeFp
+multiplicative plasticity, and the Hencky log-strain wrapper.
+
+Pattern mirrors the reference's mesh-free batched FeFp test
+(tests/test_FeFp_jax.py:6-33)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dolfinx_materials_tpu import Material
+from dolfinx_materials_tpu.models import (
+    FeFpJ2Plasticity,
+    HenckyFiniteStrain,
+    LinearElasticIsotropic,
+    NeoHooke,
+    Ogden,
+    SaintVenantKirchhoff,
+    vonMisesIsotropicHardening,
+)
+from dolfinx_materials_tpu.ops import tensors as tn
+
+E, nu = 70e3, 0.3
+mu = E / 2 / (1 + nu)
+kappa = E / 3 / (1 - 2 * nu)
+lmbda = E * nu / (1 + nu) / (1 - 2 * nu)
+
+
+def rand_F(rng, amp=0.2, n=1):
+    return np.eye(3) + amp * rng.normal(size=(n, 3, 3))
+
+
+def test_svk_closed_form():
+    mat = Material(SaintVenantKirchhoff(E, nu))
+    rng = np.random.default_rng(0)
+    F = rand_F(rng, 0.1, 5)
+    Fv = tn.mat_to_nonsym(jnp.asarray(F))
+    P, _, Ct = mat.integrate(Fv)
+    # P = F S, S = lambda tr(E) I + 2 mu E, E = (F^T F - I)/2
+    Egl = 0.5 * (np.swapaxes(F, 1, 2) @ F - np.eye(3))
+    S = lmbda * np.trace(Egl, axis1=1, axis2=2)[:, None, None] * np.eye(3) + 2 * mu * Egl
+    P_expected = F @ S
+    np.testing.assert_allclose(
+        np.asarray(tn.nonsym_to_mat(P)), P_expected, rtol=1e-10
+    )
+    assert Ct.shape == (5, 81)
+
+
+def small_strain_tangent(mat):
+    """dPK1/dF at F=I mapped onto symmetric strain: must equal isotropic C."""
+    Fv = jnp.asarray(tn.I9)[None, :]
+    mat.set_data_manager(1)
+    _, _, Ct = mat.integrate(Fv)
+    A = np.asarray(Ct).reshape(9, 9)
+    # contract with symmetric strain directions: C6[a,b] = E_a : A : E_b
+    B = np.zeros((6, 9))
+    for a in range(6):
+        e6 = np.zeros(6)
+        e6[a] = 1.0
+        B[a] = np.asarray(tn.mat_to_nonsym(tn.sym_to_mat(jnp.asarray(e6))))
+    # Mandel basis is orthonormal; 9-vec basis is orthonormal too
+    return B @ A @ B.T
+
+
+def test_neohooke_and_ogden_small_strain_limit():
+    C_iso = np.asarray(tn.isotropic_C(E, nu))
+    for beh in [NeoHooke(mu=mu, K=kappa), Ogden(mu=(mu,), alpha=(2.5,), K=kappa)]:
+        C6 = small_strain_tangent(Material(beh))
+        np.testing.assert_allclose(C6, C_iso, rtol=1e-6, atol=1e-6 * mu)
+
+
+def test_ogden_energy_vs_eigendecomposition():
+    """Matmul-only stretch powers vs the straightforward eigh formula."""
+    og = Ogden(mu=(0.4e6, 0.1e6), alpha=(28.8, -2.0), K=1e9)
+    rng = np.random.default_rng(1)
+    F = rand_F(rng, 0.3)[0]
+    C = F.T @ F
+    lam2, _ = np.linalg.eigh(C)
+    lam = np.sqrt(lam2)
+    J = np.prod(lam)
+    W_ref = 0.5 * 1e9 * (J - 1) ** 2
+    for mu_p, a_p in zip(og.mu, og.alpha):
+        lbar = J ** (-1.0 / 3.0) * lam
+        W_ref += 2 * mu_p / a_p**2 * (np.sum(lbar**a_p) - 3)
+    W = og.strain_energy(jnp.asarray(F))
+    np.testing.assert_allclose(float(W), W_ref, rtol=1e-9)
+
+
+def test_ogden_pk1_vs_fd():
+    og = Material(Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9))
+    rng = np.random.default_rng(2)
+    F = rand_F(rng, 0.15)[0]
+    Fv = np.asarray(tn.mat_to_nonsym(jnp.asarray(F)))[None]
+    og.set_data_manager(1)
+    P, _, _ = og.integrate(jnp.asarray(Fv))
+    h = 1e-6
+    beh = og.behavior
+    for k in range(9):
+        d = np.zeros(9)
+        d[k] = h
+        Wp = beh.strain_energy(tn.nonsym_to_mat(jnp.asarray(Fv[0] + d)))
+        Wm = beh.strain_energy(tn.nonsym_to_mat(jnp.asarray(Fv[0] - d)))
+        np.testing.assert_allclose(
+            np.asarray(P)[0, k], (float(Wp) - float(Wm)) / (2 * h), rtol=3e-5
+        )
+
+
+def drive_uniaxial_F(mat, eps=2e-2, nsteps=20, nbatch=10):
+    """The reference FeFp driver (tests/test_FeFp_jax.py:23-33)."""
+    mat.set_data_manager(nbatch)
+    P_hist, p_hist = [], []
+    for t in jnp.linspace(0, 1.0, nsteps)[1:]:
+        F = jnp.zeros((nbatch, 9))
+        F = F.at[:, 0].set(1 + eps * t)
+        F = F.at[:, 1].set(1 - eps / 2 * t)
+        F = F.at[:, 2].set(1 - eps / 2 * t)
+        P, isv, Ct = mat.integrate(F, 0.0)
+        mat.data_manager.update()
+        P_hist.append(np.asarray(P[0]))
+        p_hist.append(float(mat.data_manager.s0["p"][0, 0]))
+    return np.array(P_hist), np.array(p_hist)
+
+
+def test_fefp_plasticity_reference_pattern():
+    sig0, sigu, b = 500.0, 750.0, 1000.0
+
+    def yield_stress(p):
+        return sig0 + (sigu - sig0) * (1 - jnp.exp(-b * p))
+
+    mat = Material(FeFpJ2Plasticity(LinearElasticIsotropic(E, nu), yield_stress))
+    P_hist, p_hist = drive_uniaxial_F(mat)
+    assert np.isfinite(P_hist).all()
+    assert p_hist[-1] > 1e-4, "plasticity must activate"
+    # Kirchhoff stress consistency: q(tau) == sigma_Y(p) when plastic
+    be = tn.sym_to_mat(jnp.asarray(mat.data_manager.s0["be"][0]))
+    eps_e = tn.mat_to_sym(0.5 * jnp.asarray(__import__("scipy.linalg", fromlist=["logm"]).logm(np.asarray(be))))
+    el = LinearElasticIsotropic(E, nu)
+    tau = el.stress(eps_e)
+    q = float(tn.eq_vm(tau))
+    np.testing.assert_allclose(q, float(yield_stress(p_hist[-1])), rtol=1e-7)
+    # plastic incompressibility: det(be) == det(F)^2 (elastic volume = total volume)
+    F_last = tn.nonsym_to_mat(jnp.asarray(mat.data_manager.s0["F_prev"][0]))
+    np.testing.assert_allclose(
+        float(tn.det33(be)), float(tn.det33(F_last)) ** 2, rtol=1e-9
+    )
+
+
+def test_fefp_small_strain_consistency():
+    """At infinitesimal strain FeFp must agree with small-strain J2 to O(eps^2)."""
+    sig0 = 1.0e-2  # tiny yield -> plasticity activates at tiny strain
+
+    def ys(p):
+        return sig0 + 0.1 * p
+
+    m_fefp = Material(FeFpJ2Plasticity(LinearElasticIsotropic(E, nu), ys))
+    m_ss = Material(
+        vonMisesIsotropicHardening(LinearElasticIsotropic(E, nu), ys)
+    )
+    eps = 1e-6
+    P_hist, _ = drive_uniaxial_F(m_fefp, eps=eps, nsteps=5, nbatch=2)
+
+    m_ss.set_data_manager(2)
+    for t in jnp.linspace(0, 1.0, 5)[1:]:
+        e = jnp.zeros((2, 6))
+        e = e.at[:, 0].set(eps * t)
+        e = e.at[:, 1].set(-eps / 2 * t)
+        e = e.at[:, 2].set(-eps / 2 * t)
+        sig, _, _ = m_ss.integrate(e)
+        m_ss.data_manager.update()
+    sig_ss = np.asarray(sig[0])
+    np.testing.assert_allclose(P_hist[-1][0], sig_ss[0], rtol=1e-4)
+    np.testing.assert_allclose(P_hist[-1][1], sig_ss[1], rtol=1e-4, atol=1e-8)
+
+
+def test_hencky_wrapper_elastic():
+    """Hencky-wrapped linear elasticity at F=I+small eps equals C:eps."""
+    mat = Material(HenckyFiniteStrain(LinearElasticIsotropic(E, nu)))
+    e = 1e-7
+    F = np.eye(3)
+    F[0, 0] += e
+    Fv = np.asarray(tn.mat_to_nonsym(jnp.asarray(F)))[None]
+    P, _, _ = mat.integrate(jnp.asarray(Fv))
+    C = np.asarray(tn.isotropic_C(E, nu))
+    eps_v = np.zeros(6)
+    eps_v[0] = e
+    np.testing.assert_allclose(np.asarray(P)[0, :3], (C @ eps_v)[:3], rtol=1e-5)
+
+
+def test_hencky_j2_matches_fefp_small_strain():
+    """Both finite-strain plasticity routes coincide in the small-strain limit."""
+    sig0 = 50.0
+
+    def ys(p):
+        return sig0 + 100.0 * p
+
+    el = LinearElasticIsotropic(E, nu)
+    m1 = Material(HenckyFiniteStrain(vonMisesIsotropicHardening(el, ys)))
+    m2 = Material(FeFpJ2Plasticity(el, ys))
+    P1, p1 = drive_uniaxial_F(m1, eps=5e-3, nsteps=10, nbatch=2)
+    P2, p2 = drive_uniaxial_F(m2, eps=5e-3, nsteps=10, nbatch=2)
+    np.testing.assert_allclose(P1[-1], P2[-1], rtol=2e-3, atol=1e-3 * sig0)
+    np.testing.assert_allclose(p1[-1], p2[-1], rtol=2e-3)
