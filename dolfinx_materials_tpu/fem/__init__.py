@@ -1,0 +1,18 @@
+"""Standalone TPU-native FEM layer.
+
+Replaces the reference's external DOLFINx/Basix/FFCx/PETSc host stack (SURVEY.md
+§2.2) with a jittable, shardable finite-element core: structured meshes, Lagrange
+elements tabulated by AD, batched einsum assembly, and matrix-free operators.
+Everything is static-shape and SPMD-friendly by construction.
+"""
+
+from .mesh import (  # noqa: F401
+    Mesh,
+    create_box,
+    create_rectangle,
+    create_unit_cube,
+    create_unit_square,
+)
+from .element import ReferenceElement, quadrature_rule  # noqa: F401
+from .space import Function, FunctionSpace  # noqa: F401
+from .bc import DirichletBC, locate_dofs_geometrical  # noqa: F401

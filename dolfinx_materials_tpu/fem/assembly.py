@@ -1,0 +1,235 @@
+"""Batched einsum assembly: tabulated domains, residuals, element matrices, SpMV.
+
+This is the TPU-native replacement for FFCx-generated C kernels + PETSc matrices
+(reference L0, SURVEY.md §1). Design:
+
+- ALL element data lives in dense batched arrays (ncells, nq, ...) — assembly is a
+  handful of einsums (MXU) plus one scatter-add (``.at[].add``), fully jittable and
+  shardable over the cell axis;
+- the global Jacobian is never stored as a sparse matrix on device: Newton-Krylov
+  uses element matrices K_e with gather -> batched matmul -> scatter-add SpMV
+  ("assembly-free FEM"), the standard high-order trick that maps perfectly onto
+  XLA. A host-side CSR export supports scipy direct solves for small/validation
+  problems (the reference's LU/MUMPS role, tests/uniaxial_tension.py:78-82).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .element import ReferenceElement
+from .forms import Ctx
+from .space import FunctionSpace
+
+
+class QuadratureDomain:
+    """Tabulated geometry/basis for (space, quadrature degree, cell subset).
+
+    Plays the role of the reference's ``qmap.dx`` measure + Quadrature function
+    space (quadrature_map.py:74-117): it fixes the Gauss-point set on which
+    material state lives, and provides evaluation/assembly kernels on it.
+    """
+
+    def __init__(self, space: FunctionSpace, quad_degree: int, cells=None):
+        mesh = space.mesh
+        self.space = space
+        self.quad_degree = quad_degree
+        self.cells = (
+            np.arange(mesh.num_cells, dtype=np.int32)
+            if cells is None
+            else np.asarray(cells, dtype=np.int32)
+        )
+        elem = ReferenceElement(mesh.cell_type, space.degree, quad_degree)
+        geo = ReferenceElement(mesh.cell_type, 1, quad_degree)
+        self.element = elem
+        self.nq = elem.nq
+        self.ne = len(self.cells)
+        self.num_points = self.ne * self.nq
+        self.nloc = space.nloc
+        self.ncomp = space.ncomp
+        self.ndof_el = self.nloc * self.ncomp
+
+        coords = mesh.points[mesh.cells[self.cells]]  # (ne, nverts, dim)
+        J = np.einsum("cvi,qvj->cqij", coords, geo.dN)  # dx/dxi
+        detJ = np.linalg.det(J)
+        invJ = np.linalg.inv(J)  # dxi/dx
+        # dN/dx_i = dN/dxi_j * dxi_j/dx_i
+        dNdx = np.einsum("qvj,cqji->cqvi", elem.dN, invJ)
+        self.dNdx = jnp.asarray(dNdx)  # (ne, nq, nloc, dim)
+        self.N = jnp.asarray(elem.N)  # (nq, nloc)
+        self.wdetJ = jnp.asarray(elem.qweights[None, :] * np.abs(detJ))  # (ne, nq)
+        self.x_q = jnp.asarray(np.einsum("qv,cvi->cqi", geo.N, coords))  # (ne,nq,dim)
+        self.dofmap = jnp.asarray(space.dofmap[self.cells])  # (ne, ndof_el)
+        self.cell_volumes = jnp.sum(self.wdetJ, axis=1)
+
+    # ------------------------------------------------------------- gathers
+    def gather(self, u):
+        """u (ndofs,) -> element dofs (ne, ndof_el)."""
+        return jnp.asarray(u)[self.dofmap]
+
+    def _cell_eval(self, expr, u_e, dNdx_c, x_c):
+        """expr at all qps of one cell given element dofs (ndof_el,)."""
+        un = u_e.reshape(self.nloc, self.ncomp)
+        u_q = self.N @ un  # (nq, ncomp)
+        grad_q = jnp.einsum("qvi,vc->qci", dNdx_c, un)  # (nq, ncomp, dim)
+        return jax.vmap(lambda u, g, x: expr(Ctx(u, g, x)))(u_q, grad_q, x_c)
+
+    # --------------------------------------------------------- public kernels
+    def make_eval(self, expr):
+        """Jitted: u (ndofs,) -> expression values (ne*nq, size).
+
+        The reference's gradient evaluation (quadrature_map.py:305-313 via
+        fem.Expression.eval) — here one fused gather+einsum kernel."""
+
+        def f(u):
+            u_e = self.gather(u)
+            vals = jax.vmap(
+                lambda ue, d, x: self._cell_eval(expr, ue, d, x)
+            )(u_e, self.dNdx, self.x_q)
+            return vals.reshape(self.num_points, -1)
+
+        return jax.jit(f)
+
+    def make_B(self, expr):
+        """Jitted: u -> B = d(expr)/d(u_e) per qp, (ne, nq, size, ndof_el)."""
+
+        def f(u):
+            u_e = self.gather(u)
+
+            def cell(ue, d, x):
+                return jax.jacfwd(lambda w: self._cell_eval(expr, w, d, x))(ue)
+
+            return jax.vmap(cell)(u_e, self.dNdx, self.x_q)
+
+        return jax.jit(f)
+
+    def make_residual(self, exprs):
+        """Jitted residual of the quadrature terms sum_k ∫ field_k · expr_k(u) dx.
+
+        ``exprs``: list of expression fns. Returns ``f(u, fields) -> R (ndofs,)``
+        with ``fields`` a list of (ne*nq, size_k) coefficient arrays (fluxes/ISVs
+        from the material — held FIXED, exactly like UFL treats quadrature
+        coefficients in the residual form, reference solvers.py:81).
+        """
+
+        def f(u, fields):
+            u_e = self.gather(u)
+
+            def cell_res(ue, d, x, w, *flds):
+                def work(w_):
+                    tot = 0.0
+                    for expr, fld in zip(exprs, flds):
+                        g = self._cell_eval(expr, w_, d, x)  # (nq, size)
+                        tot = tot + jnp.sum(w[:, None] * g * fld)
+                    return tot
+
+                return jax.grad(work)(ue)
+
+            fields_e = [
+                f_.reshape(self.ne, self.nq, -1) for f_ in fields
+            ]
+            r_e = jax.vmap(cell_res)(u_e, self.dNdx, self.x_q, self.wdetJ, *fields_e)
+            ndofs = self.space.num_dofs
+            return jnp.zeros(ndofs, r_e.dtype).at[self.dofmap.ravel()].add(
+                r_e.ravel()
+            )
+
+        return jax.jit(f)
+
+    def make_element_matrices(self, exprs, tangent_structure):
+        """Jitted consistent element tangent matrices K_e (ne, ndof_el, ndof_el).
+
+        K_e = sum over material couplings (term k, input expr x):
+                ∫ B_k^T C_(field_k, x) B_x dx        (material stiffness)
+              + hessian_u of sum_k ∫ field_k · expr_k(u) dx   (geometric stiffness)
+
+        ``tangent_structure``: list of (k_term, x_expr_fn, None) triples; the
+        matching C blocks are passed at call time as (ne*nq, size_y, size_x)
+        arrays. This reproduces qmap.derivative's block insertion
+        (reference quadrature_map.py:132-158) with AD instead of UFL rewriting.
+        Returns ``f(u, fields, Cs) -> K_e``.
+        """
+
+        def f(u, fields, Cs):
+            u_e = self.gather(u)
+            fields_e = [f_.reshape(self.ne, self.nq, -1) for f_ in fields]
+            Cs_e = [C.reshape(self.ne, self.nq, C.shape[-2], C.shape[-1]) for C in Cs]
+
+            def cell(ue, d, x, w, flds, Cblocks):
+                Bcache = {}
+
+                def B_of(expr):
+                    key = id(expr)
+                    if key not in Bcache:
+                        Bcache[key] = jax.jacfwd(
+                            lambda w_: self._cell_eval(expr, w_, d, x)
+                        )(ue)
+                    return Bcache[key]
+
+                K = jnp.zeros((self.ndof_el, self.ndof_el), ue.dtype)
+                for (k_term, x_expr, _), C in zip(tangent_structure, Cblocks):
+                    By = B_of(exprs[k_term])  # (nq, size_y, ndof)
+                    Bx = B_of(x_expr)  # (nq, size_x, ndof)
+                    K = K + jnp.einsum("qai,qab,qbj,q->ij", By, C, Bx, w)
+
+                # geometric stiffness (zero for linear expressions)
+                def work(w_):
+                    tot = 0.0
+                    for expr, fld in zip(exprs, flds):
+                        g = self._cell_eval(expr, w_, d, x)
+                        tot = tot + jnp.sum(w[:, None] * g * fld)
+                    return tot
+
+                K = K + jax.hessian(work)(ue)
+                return K
+
+            return jax.vmap(cell)(
+                u_e, self.dNdx, self.x_q, self.wdetJ, fields_e, Cs_e
+            )
+
+        return jax.jit(f)
+
+    # ------------------------------------------------------------ operators
+    def spmv(self, K_e, v):
+        """Assembly-free SpMV: y = A v from element matrices (gather-matmul-scatter)."""
+        v_e = jnp.asarray(v)[self.dofmap]  # (ne, ndof_el)
+        y_e = jnp.einsum("eij,ej->ei", K_e, v_e)
+        return jnp.zeros_like(jnp.asarray(v)).at[self.dofmap.ravel()].add(y_e.ravel())
+
+    def matrix_diagonal(self, K_e, ndofs):
+        d_e = jnp.diagonal(K_e, axis1=1, axis2=2)
+        return jnp.zeros(ndofs, K_e.dtype).at[self.dofmap.ravel()].add(d_e.ravel())
+
+    def to_scipy_csr(self, K_e, ndofs):
+        """Export the assembled sparse matrix for host direct solves."""
+        import scipy.sparse as sp
+
+        dm = np.asarray(self.dofmap)
+        rows = np.repeat(dm, self.ndof_el, axis=1).ravel()
+        cols = np.tile(dm, (1, self.ndof_el)).ravel()
+        A = sp.coo_matrix(
+            (np.asarray(K_e).ravel(), (rows, cols)), shape=(ndofs, ndofs)
+        )
+        return A.tocsr()
+
+
+def assemble_scalar(domain: QuadratureDomain, values_q):
+    """∫ f dx over the domain (values at quadrature points, (ne*nq,) or scalar)."""
+    v = jnp.broadcast_to(
+        jnp.asarray(values_q).reshape(-1), (domain.num_points,)
+    ).reshape(domain.ne, domain.nq)
+    return jnp.sum(domain.wdetJ * v)
+
+
+def project_dg0(domain: QuadratureDomain, values_q):
+    """Cell-averaged (DG-0) projection of a quadrature field, (ne, size).
+
+    The reference's ``project_on(name, ("DG", 0))`` postprocessing
+    (quadrature_map.py:362-401)."""
+    v = jnp.asarray(values_q).reshape(domain.ne, domain.nq, -1)
+    num = jnp.einsum("eq,eqk->ek", domain.wdetJ, v)
+    return num / domain.cell_volumes[:, None]

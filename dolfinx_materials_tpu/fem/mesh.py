@@ -1,0 +1,131 @@
+"""Meshes: a minimal static-shape mesh container + structured generators.
+
+Replaces the reference's ``dolfinx.mesh`` (C++) for the test/demo corpus
+(``create_unit_square(..., CellType.quadrilateral)`` in tests/uniaxial_tension.py:12,
+boxes in the 3D demos). Unstructured gmsh import can layer on top later — the
+container is just (points, cells).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .element import CELL_DIM, CELL_VERTS, EDGES
+
+
+@dataclass
+class Mesh:
+    points: np.ndarray  # (npoints, dim) float64 vertex coordinates
+    cells: np.ndarray  # (ncells, nverts) int32 vertex indices
+    cell_type: str
+
+    def __post_init__(self):
+        self.points = np.asarray(self.points, dtype=np.float64)
+        self.cells = np.ascontiguousarray(self.cells, dtype=np.int32)
+        assert self.cells.shape[1] == CELL_VERTS[self.cell_type]
+
+    @property
+    def dim(self):
+        return CELL_DIM[self.cell_type]
+
+    @property
+    def num_cells(self):
+        return len(self.cells)
+
+    @property
+    def num_vertices(self):
+        return len(self.points)
+
+    def edges(self):
+        """Unique edges as sorted vertex pairs + per-cell edge indices.
+
+        Host-side 'mesh compilation' (the dofmap-builder role of DOLFINx's C++
+        topology core); returns (edge_verts (nedges,2), cell_edges (ncells, nle)).
+        """
+        le = np.array(EDGES[self.cell_type])  # (nle, 2)
+        ev = self.cells[:, le]  # (ncells, nle, 2)
+        ev_sorted = np.sort(ev, axis=2).reshape(-1, 2)
+        edge_verts, inverse = np.unique(ev_sorted, axis=0, return_inverse=True)
+        cell_edges = inverse.reshape(len(self.cells), len(le)).astype(np.int32)
+        return edge_verts, cell_edges
+
+    def cell_centers(self):
+        return self.points[self.cells].mean(axis=1)
+
+
+def create_rectangle(p0, p1, n, cell_type="quad"):
+    """Structured rectangle mesh of ``n=(nx, ny)`` cells ('quad' or 'triangle')."""
+    nx, ny = n
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    quads = []
+    for i in range(nx):
+        for j in range(ny):
+            quads.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    quads = np.array(quads, dtype=np.int32)
+    if cell_type == "quad":
+        return Mesh(points, quads, "quad")
+    if cell_type == "triangle":
+        tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], axis=0)
+        return Mesh(points, tris, "triangle")
+    raise ValueError(cell_type)
+
+
+def create_unit_square(nx, ny, cell_type="quad"):
+    """Reference-equivalent of ``dolfinx.mesh.create_unit_square``
+    (tests/uniaxial_tension.py:12)."""
+    return create_rectangle((0.0, 0.0), (1.0, 1.0), (nx, ny), cell_type)
+
+
+def create_box(p0, p1, n, cell_type="hexahedron"):
+    """Structured box mesh of ``n=(nx, ny, nz)`` cells ('hexahedron' or
+    'tetrahedron', 6 tets per hex)."""
+    nx, ny, nz = n
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], ny + 1)
+    z = np.linspace(p0[2], p1[2], nz + 1)
+    X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    hexes = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                hexes.append(
+                    [
+                        vid(i, j, k), vid(i + 1, j, k),
+                        vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                        vid(i, j, k + 1), vid(i + 1, j, k + 1),
+                        vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1),
+                    ]
+                )
+    hexes = np.array(hexes, dtype=np.int32)
+    if cell_type == "hexahedron":
+        return Mesh(points, hexes, "hexahedron")
+    if cell_type == "tetrahedron":
+        # Kuhn triangulation: 6 tets per hex, conforming across faces
+        h = hexes
+        tets = np.concatenate(
+            [
+                h[:, [0, 1, 2, 6]], h[:, [0, 2, 3, 6]], h[:, [0, 3, 7, 6]],
+                h[:, [0, 7, 4, 6]], h[:, [0, 4, 5, 6]], h[:, [0, 5, 1, 6]],
+            ],
+            axis=0,
+        )
+        return Mesh(points, tets.astype(np.int32), "tetrahedron")
+    raise ValueError(cell_type)
+
+
+def create_unit_cube(nx, ny, nz, cell_type="hexahedron"):
+    return create_box((0, 0, 0), (1, 1, 1), (nx, ny, nz), cell_type)

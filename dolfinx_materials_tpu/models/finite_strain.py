@@ -66,8 +66,8 @@ class FeFpJ2Plasticity(FiniteStrainBehavior):
 
         tau_tr = el.stress(eps_e_tr)
         s_tr = tensors.dev(tau_tr)
-        q_tr = jnp.sqrt(1.5 * tensors.ddot(s_tr, s_tr))
         sigY0 = self.yield_stress(p)
+        q_tr = tensors.eq_vm_safe(tau_tr, 1.0 + sigY0)
 
         def residual(dp, f_act, p0):
             return f_act - 3.0 * mu * dp - (
@@ -84,7 +84,7 @@ class FeFpJ2Plasticity(FiniteStrainBehavior):
             lower=0.0,
         )
 
-        n = 1.5 * s_tr / jnp.maximum(q_tr, 1e-12 * (1.0 + sigY0))
+        n = 1.5 * s_tr / q_tr
         eps_e = eps_e_tr - dp * n
         tau = tau_tr - 2.0 * mu * dp * n
 

@@ -54,8 +54,8 @@ class vonMisesIsotropicHardening(SmallStrainBehavior):
 
         sig_tr = el.stress(eps - eps_p)
         s_tr = tensors.dev(sig_tr)
-        q_tr = jnp.sqrt(1.5 * tensors.ddot(s_tr, s_tr))
         sigY0 = self.yield_stress(p)
+        q_tr = tensors.eq_vm_safe(sig_tr, 1.0 + sigY0)
         f_tr = q_tr - sigY0
 
         def residual(dp, f_act, p0):
@@ -72,8 +72,8 @@ class vonMisesIsotropicHardening(SmallStrainBehavior):
             lower=0.0,
         )
 
-        # flow direction n = 3/2 s/q (Mandel vector), guarded at q=0
-        n = 1.5 * s_tr / jnp.maximum(q_tr, 1e-12 * (1.0 + sigY0))
+        # flow direction n = 3/2 s/q (Mandel vector); q_tr is smooth-guarded at 0
+        n = 1.5 * s_tr / q_tr
         sig = sig_tr - 2.0 * mu * dp * n
         new_state = {"eps_p": eps_p + dp * n, "p": p + dp}
         return sig, new_state
@@ -109,11 +109,17 @@ class GeneralIsotropicHardening(SmallStrainBehavior):
         f_tr = self.stress_norm(sig_tr) - self.yield_stress(p)
 
         normal = jax.grad(self.stress_norm)
+        # safe evaluation point for the (irrelevant) normal on the elastic branch:
+        # stress norms are non-smooth at sig = 0 and would NaN the IFT pass there
+        safe_dir = jnp.asarray([1.0, -0.5, -0.5, 0.0, 0.0, 0.0])
 
         def residual(x, eps_el_tr, p0, plastic):
             eps_el, dp = x[:6], x[6]
             sig = el.stress(eps_el)
-            r1 = eps_el - eps_el_tr + dp * normal(sig)
+            sig_n = jnp.where(
+                plastic, sig, sig + (1.0 + self.yield_stress(p0)) * safe_dir
+            )
+            r1 = eps_el - eps_el_tr + dp * normal(sig_n)
             # when elastic, force the root to (eps_el_tr, 0) smoothly
             r2 = jnp.where(
                 plastic,

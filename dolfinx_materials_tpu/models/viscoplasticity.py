@@ -48,8 +48,8 @@ class NortonViscoplasticity(SmallStrainBehavior):
         eps_p, p = state["eps_p"], state["p"]
         sig_tr = el.stress(eps - eps_p)
         s_tr = tensors.dev(sig_tr)
-        q_tr = jnp.sqrt(1.5 * tensors.ddot(s_tr, s_tr))
         sigY0 = self.yield_stress(p)
+        q_tr = tensors.eq_vm_safe(sig_tr, 1.0 + sigY0)
 
         def residual(dp, q_tr, p0, dt):
             over = (q_tr - 3.0 * mu * dp - self.yield_stress(p0 + dp)) / self.K
@@ -63,7 +63,7 @@ class NortonViscoplasticity(SmallStrainBehavior):
             max_iter=self.max_iter,
             lower=0.0,
         )
-        n_dir = 1.5 * s_tr / jnp.maximum(q_tr, 1e-12 * (1.0 + sigY0))
+        n_dir = 1.5 * s_tr / q_tr
         sig = sig_tr - 2.0 * mu * dp * n_dir
         return sig, {"eps_p": eps_p + dp * n_dir, "p": p + dp}
 

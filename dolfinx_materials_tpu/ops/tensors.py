@@ -73,6 +73,20 @@ def eq_vm(sig):
     return jnp.sqrt(1.5 * ddot(s, s))
 
 
+def eq_vm_safe(sig, scale):
+    """Von Mises stress with a smooth guard at s = 0.
+
+    ``sqrt`` has an infinite derivative at the origin; under ``jacfwd`` the
+    (correctly zero) plastic terms then produce 0 * inf = NaN tangents at
+    stress-free points — the initial state of every simulation. The guard adds
+    ``(1e-14 * scale)^2`` under the root: relative error < 1e-28, derivative
+    finite everywhere.
+    """
+    s = dev(sig)
+    tiny = (1e-14 * scale) ** 2
+    return jnp.sqrt(1.5 * ddot(s, s) + tiny)
+
+
 def outer66(a, b):
     """Tensor (dyadic) product of two 6-vectors -> (..., 6, 6) Mandel matrix."""
     return a[..., :, None] * b[..., None, :]
