@@ -141,6 +141,19 @@ class Material:
             jax.vmap(point_update, in_axes=(0, 0, 0, None))
         )
 
+        # optional whole-batch fast path supplied by the behavior (e.g. the
+        # analytic-tangent J2 kernel, ops/j2_fast.py). Only usable for the
+        # single-gradient/no-ESV/no-props signature.
+        fast = getattr(behavior, "batched_update", None)
+        self._fast_update = None
+        if (
+            fast is not None
+            and not self.external_state_variables
+            and not getattr(behavior, "material_properties", {})
+            and len(self.tangent_blocks) == 1
+        ):
+            self._fast_update = jax.jit(fast)
+
     # ------------------------------------------------------------- lifecycle
     def set_data_manager(self, ngauss: int):
         self.data_manager = DataManager(self.behavior, ngauss, self.dtype)
@@ -177,9 +190,13 @@ class Material:
         props = self._assemble_props(n)
 
         with timer(f"{self.name}: constitutive update"):
-            flux, Ct, new_state = self.batched_constitutive_update(
-                x, props, dm.s0.internal, dt
-            )
+            if self._fast_update is not None:
+                flux, Ct, new_state = self._fast_update(x, dm.s0.internal, dt)
+                Ct = Ct.reshape(n, -1)
+            else:
+                flux, Ct, new_state = self.batched_constitutive_update(
+                    x, props, dm.s0.internal, dt
+                )
 
         s1 = dm.s1
         s1.gradients = gradients

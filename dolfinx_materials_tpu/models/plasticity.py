@@ -47,6 +47,16 @@ class vonMisesIsotropicHardening(SmallStrainBehavior):
     def init_state(self):
         return {"eps_p": jnp.zeros(6), "p": jnp.zeros(())}
 
+    def batched_update(self, eps, state, dt):
+        """Hand-optimized whole-batch fast path (analytic consistent tangent,
+        ops/j2_fast.py); picked up by Material.integrate. Verified to 1e-8
+        against the generic IFT path in tests/test_j2_fast.py."""
+        if not hasattr(self, "_fast"):
+            from ..ops.j2_fast import make_j2_batched_update
+
+            self._fast = make_j2_batched_update(self.elasticity, self.yield_stress)
+        return self._fast(eps, state, dt)
+
     def small_strain_update(self, eps, state, dt):
         el = self.elasticity
         mu = el.mu

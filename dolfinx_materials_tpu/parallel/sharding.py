@@ -1,0 +1,273 @@
+"""SPMD kernels: sharded constitutive updates and a fully-fused Newton load step.
+
+Design (TPU-first, replacing reference MPI patterns):
+
+- **Constitutive update** (the hot path): the Gauss-point axis is sharded; each
+  device runs the identical vmapped point kernel on its slice. No communication —
+  the exact analogue of the reference's rank-local ``mgis_bv.integrate`` loops
+  (mfront.py:264-285), but over ICI-connected chips.
+- **Newton load step**: cells (and their state) sharded, dof vectors replicated.
+  Per device: gather local element dofs -> evaluate gradients -> batched material
+  update -> element residuals/matrices -> local scatter-add -> ``psum`` over the
+  mesh axis. The linear solve is a fixed-iteration Jacobi-preconditioned CG whose
+  matvec does one psum per application. Everything is ``lax`` control flow with
+  static shapes: ONE jittable function = one XLA program per load step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+
+def device_mesh(n_devices=None, axis="cells", devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def pad_to_multiple(arr, m, axis=0, fill=0):
+    """Pad ``axis`` to a multiple of ``m`` (static shapes across shards)."""
+    n = arr.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return arr, n
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    if isinstance(arr, np.ndarray):
+        return np.pad(arr, widths, constant_values=fill), n
+    return jnp.pad(arr, widths, constant_values=fill), n
+
+
+def make_sharded_constitutive_update(material, mesh: Mesh, axis="cells"):
+    """Jitted sharded batched update: (x (n, nin), state pytree, dt) -> outputs.
+
+    ``n`` must be divisible by the mesh size (use :func:`pad_to_multiple`).
+    Zero collectives: the point axis is embarrassingly parallel.
+    """
+    point_update = material._point_update
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), None),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def _update(x, state, dt):
+        return jax.vmap(lambda xi, si: point_update(xi, {}, si, dt))(x, state)
+
+    return jax.jit(_update)
+
+
+def make_sharded_newton_step(
+    qmap,
+    problem,
+    mesh: Mesh,
+    axis="cells",
+    n_newton=5,
+    n_cg=60,
+    n_backtracks=8,
+):
+    """Build a fully-fused, sharded Newton load step for a single-material
+    mechanics problem (one registered gradient, default flux·δgrad residual).
+
+    Returns ``step(u, internal_state, bc_mask, bc_vals) ->
+    (u_new, new_internal_state, res_norm)`` — jittable, runs entirely on device,
+    cells sharded over ``mesh``. This is the "training step" analogue used by the
+    multi-chip dry run.
+    """
+    dom = qmap.domain
+    material = qmap.material
+    ndev = mesh.shape[axis]
+    gname = material.gradient_names[0]
+    fname = material.flux_names[0]
+    expr = qmap.gradient_exprs[gname]
+    point_update = material._point_update
+    behavior = material.behavior
+
+    def point_flux(x, state, dt):
+        """Flux-only evaluation (no tangent) for line-search residual trials."""
+        flux_dict, new_state = behavior.constitutive_update({gname: x}, state, dt)
+        return flux_dict[fname], new_state
+    nloc, ncomp, nq = dom.nloc, dom.ncomp, dom.nq
+    N_tab = dom.N
+    ndofs = qmap.space.num_dofs
+
+    # --- shard-ready (padded) tables -------------------------------------
+    dNdx, ne_real = pad_to_multiple(np.asarray(dom.dNdx), ndev)
+    wdetJ, _ = pad_to_multiple(np.asarray(dom.wdetJ), ndev)  # padded cells: w=0
+    x_q, _ = pad_to_multiple(np.asarray(dom.x_q), ndev)
+    dofmap, _ = pad_to_multiple(np.asarray(dom.dofmap), ndev)  # pad -> dof 0, w=0 ok
+    tables = (jnp.asarray(dNdx), jnp.asarray(wdetJ), jnp.asarray(x_q),
+              jnp.asarray(dofmap))
+
+    def pad_state(state):
+        return jax.tree.map(lambda a: pad_to_multiple(a, ndev * nq)[0], state)
+
+    from ..fem.forms import Ctx
+
+    def cell_eval(ue, d, x):
+        un = ue.reshape(nloc, ncomp)
+        u_q = N_tab @ un
+        g_q = jnp.einsum("qvi,vc->qci", d, un)
+        return jax.vmap(lambda u_, g_, x_: expr(Ctx(u_, g_, x_)))(u_q, g_q, x)
+
+    def local_kernels(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt):
+        """Per-device: material update + element residual/matrices on local cells."""
+        u_e = u[dofmap_l]  # (ne_l, ndof_el)
+        grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)  # (ne_l, nq, size)
+        gsize = grads.shape[-1]
+        x_flat = grads.reshape(-1, gsize)
+        flux, Ct, new_state = jax.vmap(
+            lambda xi, si: point_update(xi, {}, si, dt)
+        )(x_flat, state_l)
+        ne_l = u_e.shape[0]
+        flux_e = flux.reshape(ne_l, nq, -1)
+        C_e = Ct.reshape(ne_l, nq, gsize, gsize)
+
+        def cell_r(ue, d, x, w, fl):
+            def work(w_):
+                g = cell_eval(w_, d, x)
+                return jnp.sum(w[:, None] * g * fl)
+
+            return jax.grad(work)(ue)
+
+        r_e = jax.vmap(cell_r)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e)
+
+        def cell_K(ue, d, x, w, fl, C):
+            B = jax.jacfwd(lambda w_: cell_eval(w_, d, x))(ue)
+            K = jnp.einsum("qai,qab,qbj,q->ij", B, C, B, w)
+
+            def work(w_):
+                g = cell_eval(w_, d, x)
+                return jnp.sum(w[:, None] * g * fl)
+
+            return K + jax.hessian(work)(ue)
+
+        K_e = jax.vmap(cell_K)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e, C_e)
+        return r_e, K_e, new_state
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(axis), P()),
+    )
+    def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, bc_mask, bc_vals, dt):
+        u = jnp.where(bc_mask, bc_vals, u)
+
+        def scatter(vals_e):
+            return jax.lax.psum(
+                jnp.zeros(ndofs, vals_e.dtype)
+                .at[dofmap_l.ravel()]
+                .add(vals_e.ravel()),
+                axis,
+            )
+
+        def residual_norm(u_try):
+            """Flux-only residual norm (line-search trials; no tangent work)."""
+            u_e = u_try[dofmap_l]
+            grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)
+            flux, _ = jax.vmap(lambda xi, si: point_flux(xi, si, dt))(
+                grads.reshape(-1, grads.shape[-1]), state_l
+            )
+            flux_e = flux.reshape(u_e.shape[0], nq, -1)
+
+            def cell_r(ue, d, x, w, fl):
+                def work(w_):
+                    g = cell_eval(w_, d, x)
+                    return jnp.sum(w[:, None] * g * fl)
+
+                return jax.grad(work)(ue)
+
+            r_e = jax.vmap(cell_r)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e)
+            return jnp.linalg.norm(jnp.where(bc_mask, 0.0, scatter(r_e)))
+
+        def newton_body(it, carry):
+            u, _ = carry
+            r_e, K_e, _ = local_kernels(
+                u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt
+            )
+            R = scatter(r_e)
+            R = jnp.where(bc_mask, 0.0, R)
+            res_norm = jnp.linalg.norm(R)
+
+            diag = scatter(jnp.diagonal(K_e, axis1=1, axis2=2))
+            diag = jnp.where(bc_mask | (jnp.abs(diag) < 1e-30), 1.0, diag)
+
+            def Av(v):
+                v0 = jnp.where(bc_mask, 0.0, v)
+                y_e = jnp.einsum("eij,ej->ei", K_e, v0[dofmap_l])
+                y = scatter(y_e)
+                return jnp.where(bc_mask, v, y)
+
+            # fixed-iteration preconditioned CG (static control flow)
+            b = jnp.where(bc_mask, 0.0, -R)
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            z0 = r0 / diag
+            p0 = z0
+
+            def cg_body(k, cg):
+                x, r, z, p, rz = cg
+                Ap = Av(p)
+                denom = jnp.vdot(p, Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = r / diag
+                rz_new = jnp.vdot(r, z)
+                beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+                p = z + beta * p
+                return (x, r, z, p, rz_new)
+
+            du, *_ = jax.lax.fori_loop(
+                0, n_cg, cg_body, (x0, r0, z0, p0, jnp.vdot(r0, z0))
+            )
+
+            # backtracking line search (Armijo on |R|) — static while_loop
+            def ls_cond(c):
+                alpha, n_try, k = c
+                bad = jnp.logical_or(
+                    ~jnp.isfinite(n_try), n_try >= (1 - 1e-4 * alpha) * res_norm
+                )
+                return jnp.logical_and(bad, k < n_backtracks)
+
+            def ls_body(c):
+                alpha, _, k = c
+                alpha = alpha * 0.5
+                return (alpha, residual_norm(u + alpha * du), k + 1)
+
+            n1 = residual_norm(u + du)
+            alpha, _, _ = jax.lax.while_loop(ls_cond, ls_body, (1.0, n1, 0))
+            return (u + alpha * du, res_norm)
+
+        u, _ = jax.lax.fori_loop(
+            0, n_newton, newton_body, (u, jnp.asarray(0.0, u.dtype))
+        )
+        # one final constitutive evaluation so the returned state matches the
+        # returned u (the reference's advance() commits the LAST update's s1)
+        r_e, _, new_state = local_kernels(
+            u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt
+        )
+        res_norm = jnp.linalg.norm(jnp.where(bc_mask, 0.0, scatter(r_e)))
+        return u, new_state, res_norm
+
+    def step(u, internal_state, bc_mask, bc_vals, dt=0.0):
+        state_p = pad_state(internal_state)
+        return _step(
+            jnp.asarray(u), *tables, state_p,
+            jnp.asarray(bc_mask), jnp.asarray(bc_vals), dt,
+        )
+
+    step.tables = tables
+    step.ne_real = ne_real
+    step.pad_state = pad_state
+    return jax.jit(step, static_argnames=()), pad_state

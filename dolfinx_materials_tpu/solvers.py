@@ -57,6 +57,8 @@ class NonlinearMaterialProblem:
         self.ksp_type = o.pop("ksp_type", "cg")
         self.ksp_rtol = o.pop("ksp_rtol", 1e-12)
         self.ksp_maxiter = o.pop("ksp_maxiter", 2000)
+        self.line_search = o.pop("line_search", True)
+        self.max_backtracks = o.pop("max_backtracks", 12)
         self.verbose = o.pop("verbose", False)
         self.converged = False
         self.iterations = 0
@@ -201,7 +203,23 @@ class NonlinearMaterialProblem:
                     Kels = self._element_matrices(u_arr)
                 with timer("solver: linear solve"):
                     du = self._linear_solve(Kels, -R, mask)
-                u_arr = u_arr + du
+                if self.line_search:
+                    # backtracking on the residual norm (SNES newtonls role,
+                    # reference solvers.py petsc_options "snes_linesearch_type")
+                    alpha = 1.0
+                    for _ in range(self.max_backtracks):
+                        u_try = u_arr + alpha * du
+                        self._constitutive_update(u_try)
+                        R_try = self._residual(u_try)
+                        n_try = float(
+                            jnp.linalg.norm(jnp.where(jnp.asarray(mask), 0.0, R_try))
+                        )
+                        if np.isfinite(n_try) and n_try < (1 - 1e-4 * alpha) * norm:
+                            break
+                        alpha *= 0.5
+                    u_arr = u_arr + alpha * du
+                else:
+                    u_arr = u_arr + du
 
         self.u.x = np.asarray(u_arr)
         if self.converged:
