@@ -172,6 +172,44 @@ class Material:
             setattr(self.behavior, name, values)
             self._build_batched()
 
+    # ------------------------------------------------------------- rotations
+    def _rotation_ops(self, n, dtype):
+        """Per-size rotation operators from ``self.rotation_matrix``.
+
+        Replaces MGIS ``rotateGradients``/``rotateThermodynamicForces``/
+        ``rotateTangentOperatorBlocks`` (reference mfront.py:336-343) with batched
+        Mandel/9-vector rotation matmuls. ``rotation_matrix`` maps GLOBAL ->
+        MATERIAL frame (the reference test convention,
+        tests/uniaxial_tension.py:59-68); shape (3,3) or (n,3,3).
+        """
+        from .ops import tensors as _tn
+
+        R = jnp.asarray(self.rotation_matrix, dtype)
+        if R.ndim == 2:
+            R = jnp.broadcast_to(R, (n, 3, 3))
+        ops = {}
+        sizes = set(self._input_sizes.values()) | set(self._out_sizes.values())
+        for s in sizes:
+            if s == 6:
+                ops[6] = _tn.rotation_to_mandel6(R)
+            elif s == 9:
+                ops[9] = _tn.rotation_to_9(R)
+            elif s == 3:
+                ops[3] = R
+        return ops
+
+    def _rotate_cols(self, arr, slices, sizes, ops, transpose):
+        out = arr
+        for name, sl in slices.items():
+            s = sizes[name]
+            Q = ops.get(s)
+            if Q is None:
+                continue
+            block = arr[:, sl]
+            Qe = jnp.swapaxes(Q, 1, 2) if transpose else Q
+            out = out.at[:, sl].set(jnp.einsum("nij,nj->ni", Qe, block))
+        return out
+
     # ------------------------------------------------------------- integrate
     def integrate(self, gradients, dt=0.0):
         """Batched constitutive update on ``gradients (n, sum(grad sizes))``.
@@ -189,6 +227,11 @@ class Material:
         x = self._assemble_inputs(gradients, n)
         props = self._assemble_props(n)
 
+        rot = None
+        if self.rotation_matrix is not None:
+            rot = self._rotation_ops(n, x.dtype)
+            x = self._rotate_cols(x, self._in_slices, self._input_sizes, rot, False)
+
         with timer(f"{self.name}: constitutive update"):
             if self._fast_update is not None:
                 flux, Ct, new_state = self._fast_update(x, dm.s0.internal, dt)
@@ -197,6 +240,12 @@ class Material:
                 flux, Ct, new_state = self.batched_constitutive_update(
                     x, props, dm.s0.internal, dt
                 )
+
+        if rot is not None:
+            flux = self._rotate_cols(
+                flux, _slices(self.fluxes), self.fluxes, rot, True
+            )
+            Ct = self._rotate_tangent(Ct, rot)
 
         s1 = dm.s1
         s1.gradients = gradients
@@ -235,6 +284,21 @@ class Material:
             v = self._to_batched(v, n, size)
             props[name] = v[:, 0] if size == 1 else v
         return props
+
+    def _rotate_tangent(self, Ct, ops):
+        """C_glob = Q_y^T C_mat Q_x per packed tangent block."""
+        parts = []
+        pos = 0
+        for (y, x), (sy, sx) in self.tangent_blocks.items():
+            block = Ct[:, pos : pos + sy * sx].reshape(-1, sy, sx)
+            Qy, Qx = ops.get(sy), ops.get(sx)
+            if Qy is not None:
+                block = jnp.einsum("nji,njk->nik", Qy, block)
+            if Qx is not None:
+                block = jnp.einsum("nik,nkj->nij", block, Qx)
+            parts.append(block.reshape(-1, sy * sx))
+            pos += sy * sx
+        return jnp.concatenate(parts, axis=1) if parts else Ct
 
     # ----------------------------------------------------- state dict access
     def get_initial_state_dict(self):

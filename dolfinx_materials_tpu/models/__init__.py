@@ -29,3 +29,9 @@ from .viscoplasticity import (  # noqa: F401
     GeneralizedStandardMaterial,
     NortonViscoplasticity,
 )
+from .crystal import (  # noqa: F401
+    MericCailletaudCrystalPlasticity,
+    cubic_elasticity_C,
+    fcc_interaction_matrix,
+    fcc_slip_systems,
+)

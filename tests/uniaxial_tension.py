@@ -20,7 +20,7 @@ from dolfinx_materials_tpu.fem.forms import mandel_strain_2d
 
 
 def uniaxial_tension_2D(
-    material, Exx, N=1, order=1, cell_type="quad", ksp_type="lu", angle=None
+    material, Exx, N=1, order=1, cell_type="quad", ksp_type="lu", angle=None, dt=0.0
 ):
     mesh = create_unit_square(N, N, cell_type)
     V = FunctionSpace(mesh, degree=order, shape=(2,))
@@ -38,6 +38,7 @@ def uniaxial_tension_2D(
 
     u = Function(V, name="u")
     qmap = QuadratureMap(V, deg_quad, material)
+    qmap.dt = dt
     qmap.register_gradient(material.gradient_names[0], mandel_strain_2d())
     if angle is not None:
         import jax.numpy as jnp
