@@ -29,6 +29,7 @@ from .viscoplasticity import (  # noqa: F401
     GeneralizedStandardMaterial,
     NortonViscoplasticity,
 )
+from .thermal import NonlinearHeatTransfer, PhaseChangeHeatTransfer  # noqa: F401
 from .crystal import (  # noqa: F401
     MericCailletaudCrystalPlasticity,
     cubic_elasticity_C,

@@ -32,9 +32,13 @@ class NonlinearMaterialProblem:
 
         R(u) = sum_qmaps sum_k ∫ field_k(u) · expr_k(u) dx  -  F_ext  = 0
 
-    ``residual_terms``: per qmap, a list of (field_name, expr) pairs; defaults to
-    pairing each flux with its registered work-conjugate gradient expression (the
-    ``∫ sig · strain(v) dx`` pattern, tests/uniaxial_tension.py:71).
+    ``residual_terms``: per qmap, a list of (field_name, expr) or
+    (field_name, expr, scale) entries; defaults to pairing each flux with its
+    registered work-conjugate gradient expression (the ``∫ sig · strain(v) dx``
+    pattern, tests/uniaxial_tension.py:71). ``scale`` is a float or a 0-arg
+    callable evaluated at each assembly (e.g. ``lambda: -dt * theta`` in the
+    transient heat theta-scheme, reference phase_change.py:318-320); it multiplies
+    the term's coefficient AND its tangent blocks without recompilation.
     """
 
     def __init__(
@@ -74,8 +78,10 @@ class NonlinearMaterialProblem:
                     (f, qmap.gradient_exprs[g])
                     for f, g in zip(mat.flux_names, mat.gradient_names)
                 ]
+            terms = [t if len(t) == 3 else (t[0], t[1], 1.0) for t in terms]
             field_names = [t[0] for t in terms]
             exprs = [t[1] for t in terms]
+            scales = [t[2] for t in terms]
             # tangent structure: for term k with field y, every block (y, x)
             tangent_structure = []
             block_keys = []
@@ -87,12 +93,13 @@ class NonlinearMaterialProblem:
                     if x_expr is None:
                         continue  # block w.r.t. an unregistered input: no coupling
                     tangent_structure.append((k, x_expr, None))
-                    block_keys.append((by, bx))
+                    block_keys.append((k, by, bx))
             dom = qmap.domain
             self._terms.append(
                 dict(
                     qmap=qmap,
                     field_names=field_names,
+                    scales=scales,
                     residual_fn=dom.make_residual(exprs),
                     Kel_fn=dom.make_element_matrices(exprs, tangent_structure),
                     block_keys=block_keys,
@@ -104,12 +111,21 @@ class NonlinearMaterialProblem:
         for qmap in self.qmaps:
             qmap.update(u_arr)
 
+    @staticmethod
+    def _scale_value(s):
+        return float(s()) if callable(s) else float(s)
+
+    def _fields(self, t):
+        return [
+            self._scale_value(s) * t["qmap"].field_array(f)
+            for f, s in zip(t["field_names"], t["scales"])
+        ]
+
     def _residual(self, u_arr):
         ndofs = self.u.space.num_dofs
         R = jnp.zeros(ndofs)
         for t in self._terms:
-            fields = [t["qmap"].field_array(f) for f in t["field_names"]]
-            R = R + t["residual_fn"](u_arr, fields)
+            R = R + t["residual_fn"](u_arr, self._fields(t))
         if self.external_force is not None:
             F = self.external_force
             R = R - jnp.asarray(F(u_arr) if callable(F) else F)
@@ -118,9 +134,11 @@ class NonlinearMaterialProblem:
     def _element_matrices(self, u_arr):
         out = []
         for t in self._terms:
-            fields = [t["qmap"].field_array(f) for f in t["field_names"]]
-            Cs = [t["qmap"].tangent_block(y, x) for (y, x) in t["block_keys"]]
-            out.append(t["Kel_fn"](u_arr, fields, Cs))
+            Cs = [
+                self._scale_value(t["scales"][k]) * t["qmap"].tangent_block(y, x)
+                for (k, y, x) in t["block_keys"]
+            ]
+            out.append(t["Kel_fn"](u_arr, self._fields(t), Cs))
         return out
 
     def _linear_solve(self, Kels, rhs, mask):
