@@ -30,6 +30,7 @@ from .viscoplasticity import (  # noqa: F401
     NortonViscoplasticity,
 )
 from .thermal import NonlinearHeatTransfer, PhaseChangeHeatTransfer  # noqa: F401
+from .nonlinear_elasticity import RambergOsgoodNonLinearElasticity  # noqa: F401
 from .crystal import (  # noqa: F401
     MericCailletaudCrystalPlasticity,
     cubic_elasticity_C,
