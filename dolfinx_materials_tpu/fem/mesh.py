@@ -42,10 +42,17 @@ class Mesh:
         """Unique edges as sorted vertex pairs + per-cell edge indices.
 
         Host-side 'mesh compilation' (the dofmap-builder role of DOLFINx's C++
-        topology core); returns (edge_verts (nedges,2), cell_edges (ncells, nle)).
+        topology core, SURVEY.md §2.2); dispatched to the fastmesh C++ engine
+        when available, numpy fallback otherwise. Returns
+        (edge_verts (nedges, 2), cell_edges (ncells, nle)).
         """
         le = np.array(EDGES[self.cell_type])  # (nle, 2)
         ev = self.cells[:, le]  # (ncells, nle, 2)
+        from .. import native
+
+        out = native.unique_edges(ev)
+        if out is not None:
+            return out
         ev_sorted = np.sort(ev, axis=2).reshape(-1, 2)
         edge_verts, inverse = np.unique(ev_sorted, axis=0, return_inverse=True)
         cell_edges = inverse.reshape(len(self.cells), len(le)).astype(np.int32)
@@ -56,21 +63,31 @@ class Mesh:
 
 
 def create_rectangle(p0, p1, n, cell_type="quad"):
-    """Structured rectangle mesh of ``n=(nx, ny)`` cells ('quad' or 'triangle')."""
+    """Structured rectangle mesh of ``n=(nx, ny)`` cells ('quad' or 'triangle').
+
+    Generation runs in the fastmesh C++ engine when available (numpy fallback)."""
     nx, ny = n
-    x = np.linspace(p0[0], p1[0], nx + 1)
-    y = np.linspace(p0[1], p1[1], ny + 1)
-    X, Y = np.meshgrid(x, y, indexing="ij")
-    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+    from .. import native
 
-    def vid(i, j):
-        return i * (ny + 1) + j
+    out = native.structured_quad_mesh(nx, ny, p0, p1)
+    if out is not None:
+        points, quads = out
+    else:
+        x = np.linspace(p0[0], p1[0], nx + 1)
+        y = np.linspace(p0[1], p1[1], ny + 1)
+        X, Y = np.meshgrid(x, y, indexing="ij")
+        points = np.stack([X.ravel(), Y.ravel()], axis=1)
 
-    quads = []
-    for i in range(nx):
-        for j in range(ny):
-            quads.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
-    quads = np.array(quads, dtype=np.int32)
+        def vid(i, j):
+            return i * (ny + 1) + j
+
+        quads = []
+        for i in range(nx):
+            for j in range(ny):
+                quads.append(
+                    [vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)]
+                )
+        quads = np.array(quads, dtype=np.int32)
     if cell_type == "quad":
         return Mesh(points, quads, "quad")
     if cell_type == "triangle":
@@ -89,28 +106,34 @@ def create_box(p0, p1, n, cell_type="hexahedron"):
     """Structured box mesh of ``n=(nx, ny, nz)`` cells ('hexahedron' or
     'tetrahedron', 6 tets per hex)."""
     nx, ny, nz = n
-    x = np.linspace(p0[0], p1[0], nx + 1)
-    y = np.linspace(p0[1], p1[1], ny + 1)
-    z = np.linspace(p0[2], p1[2], nz + 1)
-    X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
-    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    from .. import native
 
-    def vid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
+    out = native.structured_hex_mesh(nx, ny, nz, p0, p1)
+    if out is not None:
+        points, hexes = out
+    else:
+        x = np.linspace(p0[0], p1[0], nx + 1)
+        y = np.linspace(p0[1], p1[1], ny + 1)
+        z = np.linspace(p0[2], p1[2], nz + 1)
+        X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
+        points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
 
-    hexes = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                hexes.append(
-                    [
-                        vid(i, j, k), vid(i + 1, j, k),
-                        vid(i + 1, j + 1, k), vid(i, j + 1, k),
-                        vid(i, j, k + 1), vid(i + 1, j, k + 1),
-                        vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1),
-                    ]
-                )
-    hexes = np.array(hexes, dtype=np.int32)
+        def vid(i, j, k):
+            return (i * (ny + 1) + j) * (nz + 1) + k
+
+        hexes = []
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    hexes.append(
+                        [
+                            vid(i, j, k), vid(i + 1, j, k),
+                            vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                            vid(i, j, k + 1), vid(i + 1, j, k + 1),
+                            vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1),
+                        ]
+                    )
+        hexes = np.array(hexes, dtype=np.int32)
     if cell_type == "hexahedron":
         return Mesh(points, hexes, "hexahedron")
     if cell_type == "tetrahedron":

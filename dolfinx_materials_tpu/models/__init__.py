@@ -31,6 +31,14 @@ from .viscoplasticity import (  # noqa: F401
 )
 from .thermal import NonlinearHeatTransfer, PhaseChangeHeatTransfer  # noqa: F401
 from .nonlinear_elasticity import RambergOsgoodNonLinearElasticity  # noqa: F401
+from .nn import NeuralBehavior  # noqa: F401
+from .conic import (  # noqa: F401
+    HosfordPlasticity,
+    L1RankinePlasticity,
+    RankinePlasticity,
+    l1_rankine_norm,
+    rankine_norm,
+)
 from .crystal import (  # noqa: F401
     MericCailletaudCrystalPlasticity,
     cubic_elasticity_C,

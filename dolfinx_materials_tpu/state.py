@@ -83,10 +83,14 @@ class MaterialStateManager:
 
     def __setitem__(self, name: str, value) -> None:
         value = jnp.asarray(value, self.dtype)
-        if value.ndim == 1:
-            value = value[:, None] if value.shape[0] == self.n else jnp.broadcast_to(
-                value, (self.n, value.shape[0])
-            )
+        size = self._field_size(name)
+        if value.ndim == 0:
+            value = jnp.full((self.n, size), value)
+        elif value.ndim == 1:
+            if value.shape[0] == self.n:
+                value = jnp.broadcast_to(value[:, None], (self.n, size))
+            else:
+                value = jnp.broadcast_to(value, (self.n, size))
         if name in self._grad_slices:
             self.gradients = self.gradients.at[:, self._grad_slices[name]].set(value)
         elif name in self._flux_slices:
@@ -96,6 +100,17 @@ class MaterialStateManager:
             self.internal[name] = jnp.reshape(value, leaf.shape).astype(leaf.dtype)
         else:
             raise KeyError(f"Unknown state field '{name}'")
+
+    def _field_size(self, name: str) -> int:
+        if name in self._grad_slices:
+            sl = self._grad_slices[name]
+            return sl.stop - sl.start
+        if name in self._flux_slices:
+            sl = self._flux_slices[name]
+            return sl.stop - sl.start
+        if name in self.internal_state_sizes:
+            return self.internal_state_sizes[name]
+        raise KeyError(f"Unknown state field '{name}'")
 
     def keys(self):
         return (
