@@ -20,42 +20,38 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import matfun, tensors
+from ..ops import tensors
 from .plasticity import GeneralIsotropicHardening, hosford_norm
 
 
-def rankine_norm(smooth=1e-2, scale=1.0):
-    """(Smoothed) maximum principal stress lambda_max(sig)
-    (demos/cvxpy/cvxpy_materials.py Rankine via cp.lambda_max).
+def _principal(sig):
+    """AD-safe principal stresses (ascending) via the closed-form Cardano
+    eigenvalues — finite derivatives at coincident eigenvalues, tiny graph."""
+    return tensors.eigvals33_smooth(tensors.sym_to_mat(sig))
 
-    Eigh-free spectral softmax: lambda_max ~= m + (1/beta) log tr(expm(beta(S - m I)))
-    with m = stop_grad(lambda_max) as a numerical shift — AD through the
-    matmul-only ``matfun.expm`` is finite even at coincident eigenvalues (where
-    eigvalsh AD NaNs, e.g. uniaxial stress with a double zero eigenvalue).
-    Overestimates by at most log(3)/beta = log(3)*smooth*scale.
-    """
+
+def rankine_norm(smooth=1e-3, scale=1.0):
+    """(Smoothed) maximum principal stress lambda_max(sig)
+    (demos/cvxpy/cvxpy_materials.py Rankine via cp.lambda_max), as a softmax over
+    the closed-form principal stresses. Overshoot <= log(3)*smooth*scale."""
     beta = 1.0 / (smooth * scale)
 
     def norm(sig):
-        S = tensors.sym_to_mat(sig)
-        m = jax.lax.stop_gradient(jnp.max(jnp.linalg.eigvalsh(S)))
-        # argument spectrum is [-beta*spread, 0]; 12 squarings keep the Taylor
-        # core convergent up to |spectrum| ~ 2.5e3 (0.6 after 2^12 scaling)
-        Eexp = matfun.expm(beta * (S - m * jnp.eye(3, dtype=sig.dtype)), squarings=12)
-        return m + jnp.log(jnp.trace(Eexp)) / beta
+        lam = _principal(sig)
+        m = jax.lax.stop_gradient(lam[-1])
+        return m + jnp.log(jnp.sum(jnp.exp(beta * (lam - m)))) / beta
 
     return norm
 
 
 def l1_rankine_norm(smooth=1e-3, scale=1.0):
-    """L1-Rankine sum_i |lambda_i| (demos/cvxpy/cvxpy_materials.py L1Rankine) as
-    the eigh-free spectral form tr(sqrtm(S^2 + eps^2 I))."""
+    """L1-Rankine sum_i |lambda_i| (demos/cvxpy/cvxpy_materials.py L1Rankine),
+    with smooth-abs regularization sqrt(x^2 + (smooth*scale)^2)."""
     eps = smooth * scale
 
     def norm(sig):
-        S = tensors.sym_to_mat(sig)
-        A = S @ S + (eps * eps) * jnp.eye(3, dtype=sig.dtype)
-        return jnp.trace(matfun.sqrtm(A))
+        lam = _principal(sig)
+        return jnp.sum(jnp.sqrt(lam * lam + eps * eps))
 
     return norm
 

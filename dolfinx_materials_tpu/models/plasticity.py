@@ -164,8 +164,7 @@ def hosford_norm(a, eps_reg=1e-12):
     """
 
     def norm(sig):
-        S = tensors.sym_to_mat(sig)
-        lam = jnp.linalg.eigvalsh(S)
+        lam = tensors.eigvals33_smooth(tensors.sym_to_mat(sig))
         d01 = lam[..., 0] - lam[..., 1]
         d12 = lam[..., 1] - lam[..., 2]
         d02 = lam[..., 0] - lam[..., 2]

@@ -26,17 +26,20 @@ def _dense_solve(J, r):
     return jnp.linalg.solve(J, r)
 
 
-def newton_solve(resid_fn, x0, args=(), tol=1e-10, max_iter=50):
-    """Solve ``resid_fn(x, *args) = 0`` for small dense x ``(n,)`` by damped-free Newton.
+def newton_solve(resid_fn, x0, args=(), tol=1e-10, max_iter=50, max_backtracks=12):
+    """Solve ``resid_fn(x, *args) = 0`` for small dense x ``(n,)`` by damped Newton
+    (backtracking on |r| — required for nearly piecewise-linear residuals such as
+    conic yield surfaces, where full steps oscillate).
 
     Differentiable w.r.t. ``args`` (and any closure of ``resid_fn``) via the implicit
-    function theorem — the iteration itself is never differentiated.
+    function theorem — the iteration itself is never differentiated, so the damping
+    has zero effect on the consistent tangents.
 
-    Designed for use *per Gauss point under vmap*: all control flow is a
-    ``lax.while_loop`` whose predicate vectorizes to "any point unconverged", and the
-    state update is masked per point so converged points are fixed points.
+    Designed for use *per Gauss point under vmap*: all control flow is
+    ``lax.while_loop`` whose predicates vectorize, and the state update is masked
+    per point so converged points are fixed points.
 
-    Returns ``(x, aux)`` with ``aux = (n_iter, converged)``.
+    Returns ``(x, converged)``.
     """
     x0 = jnp.asarray(x0)
 
@@ -52,7 +55,22 @@ def newton_solve(resid_fn, x0, args=(), tol=1e-10, max_iter=50):
             x, r, it, done = carry
             J = jax.jacfwd(f_)(x)
             dx = _dense_solve(J, r)
-            x_new = x - dx
+            r_norm = jnp.linalg.norm(r)
+
+            def ls_cond(ls):
+                alpha, rn, k = ls
+                bad = jnp.logical_or(~jnp.isfinite(rn), rn >= r_norm)
+                return jnp.logical_and(bad, k < max_backtracks)
+
+            def ls_body(ls):
+                alpha, _, k = ls
+                alpha = 0.5 * alpha
+                rn = jnp.linalg.norm(f_(x - alpha * dx))
+                return alpha, rn, k + 1
+
+            rn1 = jnp.linalg.norm(f_(x - dx))
+            alpha, _, _ = lax.while_loop(ls_cond, ls_body, (1.0, rn1, 0))
+            x_new = x - alpha * dx
             r_new = f_(x_new)
             done_new = jnp.linalg.norm(r_new) < tol
             return x_new, r_new, it + 1, done_new

@@ -237,6 +237,32 @@ def eigh33(S):
     return jnp.linalg.eigh(S)
 
 
+def eigvals33_smooth(S, eps=1e-12, delta=1e-12):
+    """Closed-form (trigonometric/Cardano) eigenvalues of symmetric ``(...,3,3)``,
+    ascending, with smooth guards so AD stays FINITE at coincident eigenvalues.
+
+    ``jnp.linalg.eigvalsh``'s derivative NaNs at degenerate spectra (the zero
+    stress / hydrostatic states every simulation visits); this form degrades to a
+    bounded, slightly-inexact derivative there instead (errors O(sqrt(delta))
+    only near degeneracy). ~50 elementwise ops — no iterative algorithm, so
+    forward-over-reverse AD through it is cheap (the matrix-function alternative
+    compiles to thousands of ops).
+    """
+    q = (S[..., 0, 0] + S[..., 1, 1] + S[..., 2, 2]) / 3.0
+    B = S - q[..., None, None] * jnp.eye(3, dtype=S.dtype)
+    p2 = jnp.sum(B * B, axis=(-2, -1))
+    scale2 = jnp.sum(S * S, axis=(-2, -1))
+    p = jnp.sqrt(p2 / 6.0 + eps * eps * (scale2 + 1.0))
+    Bn = B / p[..., None, None]
+    r = det33(Bn) / 2.0
+    r = jnp.clip(r, -1.0 + delta, 1.0 - delta)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)  # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+    return jnp.stack([lam3, lam2, lam1], axis=-1)
+
+
 def isotropic_C(E, nu, dtype=None):
     """6x6 Mandel stiffness of isotropic linear elasticity.
 

@@ -28,12 +28,23 @@ from .utils.timers import timer
 
 
 class QuadratureMap:
-    def __init__(self, space: FunctionSpace, deg_quad: int, material: Material, cells=None):
+    def __init__(
+        self,
+        space: FunctionSpace,
+        deg_quad: int,
+        material: Material,
+        cells=None,
+        check_nans: bool = True,
+    ):
         self.space = space
         self.material = material
         self.domain = QuadratureDomain(space, deg_quad, cells)
         material.set_data_manager(self.domain.num_points)
         self.dt = 0.0
+        #: assert flux/tangent finiteness after every integration (the
+        #: reference's NaN assertions, quadrature_map.py:322-324). Host-syncs;
+        #: disable on hot TPU paths.
+        self.check_nans = check_nans
 
         self.gradient_exprs: dict = {}
         self.esv_exprs: dict = {}
@@ -89,6 +100,16 @@ class QuadratureMap:
 
         with timer("qmap: material integration"):
             flux, isv, Ct = self.material.integrate(grad_vals, self.dt)
+
+        if self.check_nans:
+            import numpy as _np
+
+            for name, arr in (("flux", flux), ("isv", isv), ("tangent", Ct)):
+                if not _np.isfinite(_np.asarray(arr)).all():
+                    raise FloatingPointError(
+                        f"Material integration of {self.material.name} produced "
+                        f"non-finite {name} values"
+                    )
 
         self._flux = flux
         self._Ct = Ct

@@ -66,6 +66,9 @@ class NonlinearMaterialProblem:
         self.verbose = o.pop("verbose", False)
         self.converged = False
         self.iterations = 0
+        #: per-solve structured metrics (residual history, wall times) — the
+        #: observability the reference delegates to SNES monitors (SURVEY.md §5)
+        self.metrics: dict = {}
 
         # --- per-qmap term/tangent wiring ---------------------------------
         self._terms = []  # per qmap: (exprs, residual_fn, Kel_fn, blocks)
@@ -202,6 +205,10 @@ class NonlinearMaterialProblem:
 
         norm0 = None
         self.converged = False
+        import time as _time
+
+        t_start = _time.perf_counter()
+        res_history = []
         with timer("solver: Newton solve"):
             for it in range(self.max_it):
                 with timer("solver: constitutive update"):
@@ -209,6 +216,7 @@ class NonlinearMaterialProblem:
                 R = self._residual(u_arr)
                 Rm = jnp.where(jnp.asarray(mask), 0.0, R)
                 norm = float(jnp.linalg.norm(Rm))
+                res_history.append(norm)
                 if norm0 is None:
                     norm0 = norm if norm > 0 else 1.0
                 if self.verbose:
@@ -240,6 +248,13 @@ class NonlinearMaterialProblem:
                     u_arr = u_arr + du
 
         self.u.x = np.asarray(u_arr)
+        self.metrics = {
+            "converged": self.converged,
+            "newton_iterations": self.iterations,
+            "residual_history": res_history,
+            "wall_time_s": _time.perf_counter() - t_start,
+            "gauss_points": sum(q.num_points for q in self.qmaps),
+        }
         if self.converged:
             for qmap in self.qmaps:
                 qmap.advance()

@@ -92,6 +92,25 @@ def test_det_inv():
     np.testing.assert_allclose(tn.inv33(jnp.asarray(T)), np.linalg.inv(T), rtol=1e-9)
 
 
+def test_eigvals33_smooth():
+    import jax
+
+    rng = np.random.default_rng(8)
+    # generic matrices: match numpy eigvalsh to 1e-10
+    for _ in range(10):
+        S = rand_sym(rng)
+        lam = tn.eigvals33_smooth(jnp.asarray(S))
+        np.testing.assert_allclose(lam, np.linalg.eigvalsh(S), rtol=1e-9, atol=1e-10)
+    # degenerate spectra: exact values, FINITE gradients (eigvalsh AD NaNs here)
+    for S in [2.0 * np.eye(3), np.diag([5.0, 5.0, 1.0]), np.zeros((3, 3))]:
+        lam = tn.eigvals33_smooth(jnp.asarray(S))
+        np.testing.assert_allclose(lam, np.linalg.eigvalsh(S), atol=1e-5)
+        g = jax.jacrev(lambda M: tn.eigvals33_smooth(M).sum())(jnp.asarray(S))
+        assert np.isfinite(np.asarray(g)).all()
+        # d(sum lam)/dS = I exactly (trace invariant)
+        np.testing.assert_allclose(np.asarray(g), np.eye(3), atol=1e-6)
+
+
 def test_isotropic_C():
     E, nu = 70e3, 0.3
     lmbda = E * nu / (1 + nu) / (1 - 2 * nu)
