@@ -27,20 +27,17 @@ def main():
         vonMisesIsotropicHardening,
     )
 
-    behavior = vonMisesIsotropicHardening(
-        LinearElasticIsotropic(70e3, 0.3), VoceHardening(350.0, 500.0, 1e3)
-    )
-    mat = Material(behavior)
-    assert mat._fast_update is not None
+    from dolfinx_materials_tpu.ops.pallas_j2 import make_j2_pallas_update
 
-    n = 1 << 21  # 2M Gauss points
+    el = LinearElasticIsotropic(70e3, 0.3)
+    hard = VoceHardening(350.0, 500.0, 1e3)
+
+    n = 1 << 21  # 2M Gauss points, feature-major kernel layout
     rng = np.random.default_rng(0)
-    eps = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32) * 2e-2)
-    state = {
-        "eps_p": jnp.zeros((n, 6), jnp.float32),
-        "p": jnp.zeros((n,), jnp.float32),
-    }
-    update = mat._fast_update
+    eps_T = jnp.asarray((rng.normal(size=(6, n)) * 2e-2).astype(np.float32))
+    epsp_T = jnp.zeros((6, n), jnp.float32)
+    p_row = jnp.zeros((1, n), jnp.float32)
+    update = make_j2_pallas_update(el, hard, tile=4096)
 
     # The measurement runs K chained updates INSIDE one jit (every iteration's
     # inputs depend on the previous outputs, so nothing can be elided or
@@ -48,33 +45,31 @@ def main():
     # overhead cancels, leaving pure device throughput.
     def make_loop(K):
         @jax.jit
-        def loop(eps, st):
+        def loop(eT, epT, pr):
             def body(i, carry):
-                e, st = carry
-                flux, Ct, st = update(e, st, 0.0)
+                e, ep, pp = carry
+                sig, Ct, epn, pn = update(e, ep, pp)
                 # fold outputs back into the chain (full data dependence)
-                e = eps + 1e-9 * Ct.reshape(-1, 6, 6).sum(-1) + 1e-6 * flux
-                return (e, st)
+                e = eps_T + 1e-9 * Ct[:6] + 1e-9 * Ct[30:] + 1e-6 * sig
+                return (e, epn, pn)
 
-            e, st = jax.lax.fori_loop(0, K, body, (eps, st))
-            flux, Ct, st = update(e, st, 0.0)  # final tangent written out
-            return flux, Ct, st
+            return jax.lax.fori_loop(0, K, body, (eT, epT, pr))
 
         return loop
 
     def timed(K, reps=3):
         loop = make_loop(K)
-        out = loop(eps, state)
+        out = loop(eps_T, epsp_T, p_row)
         jax.block_until_ready(out)
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = loop(eps, state)
+            out = loop(eps_T, epsp_T, p_row)
             s = float(jnp.sum(out[0]))  # host-sync on a scalar
             best = min(best, time.perf_counter() - t0)
         return best
 
-    K1, K2 = 4, 36
+    K1, K2 = 2, 22
     t1, t2 = timed(K1), timed(K2)
     dt = (t2 - t1) / (K2 - K1)
 
