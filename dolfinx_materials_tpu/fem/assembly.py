@@ -225,6 +225,43 @@ def assemble_scalar(domain: QuadratureDomain, values_q):
     return jnp.sum(domain.wdetJ * v)
 
 
+def project_cg(domain: QuadratureDomain, values_q, degree=1):
+    """L2-project a quadrature field onto a continuous Lagrange space on the
+    same mesh: mass-matrix CG solve, all on device (the reference's
+    ``utils.project`` role, utils.py:19-68). Returns (space, dof array (nnodes, k))."""
+    from .space import FunctionSpace
+
+    mesh = domain.space.mesh
+    vals = jnp.asarray(values_q).reshape(domain.ne, domain.nq, -1)
+    k = vals.shape[-1]
+    target = FunctionSpace(mesh, degree, ())
+    tdom = QuadratureDomain(target, domain.quad_degree, np.asarray(domain.cells))
+
+    # element mass and rhs
+    Me = jnp.einsum("eq,qi,qj->eij", tdom.wdetJ, tdom.N, tdom.N)
+    rhs_e = jnp.einsum("eq,qi,eqc->eic", tdom.wdetJ, tdom.N, vals)
+    ndofs = target.num_dofs
+    dm = tdom.dofmap
+    rhs = jnp.zeros((ndofs, k)).at[dm.ravel()].add(rhs_e.reshape(-1, k))
+    diag = jnp.zeros(ndofs).at[dm.ravel()].add(
+        jnp.diagonal(Me, axis1=1, axis2=2).ravel()
+    )
+    diag = jnp.where(diag <= 0, 1.0, diag)
+
+    def Av(v):
+        v_e = v[dm]
+        return jnp.zeros(ndofs, v.dtype).at[dm.ravel()].add(
+            jnp.einsum("eij,ej->ei", Me, v_e).ravel()
+        )
+
+    def solve_one(b):
+        x, _ = jax.scipy.sparse.linalg.cg(Av, b, tol=1e-12, M=lambda v: v / diag)
+        return x
+
+    out = jax.vmap(solve_one, in_axes=1, out_axes=1)(rhs)
+    return target, np.asarray(out)
+
+
 def project_dg0(domain: QuadratureDomain, values_q):
     """Cell-averaged (DG-0) projection of a quadrature field, (ne, size).
 

@@ -38,8 +38,19 @@ EDGES = {
     ],
 }
 
-CELL_DIM = {"triangle": 2, "quad": 2, "tetrahedron": 3, "hexahedron": 3}
-CELL_VERTS = {"triangle": 3, "quad": 4, "tetrahedron": 4, "hexahedron": 8}
+CELL_DIM = {"interval": 1, "triangle": 2, "quad": 2, "tetrahedron": 3, "hexahedron": 3}
+CELL_VERTS = {"interval": 2, "triangle": 3, "quad": 4, "tetrahedron": 4, "hexahedron": 8}
+
+#: local facets (vertex tuples) per cell type — boundary integral support
+FACETS = {
+    "triangle": [(0, 1), (1, 2), (2, 0)],
+    "quad": [(0, 1), (1, 2), (2, 3), (3, 0)],
+    "tetrahedron": [(0, 1, 2), (0, 1, 3), (1, 2, 3), (0, 2, 3)],
+    "hexahedron": [
+        (0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+        (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7),
+    ],
+}
 
 
 # ------------------------------------------------------- shape functions
@@ -50,7 +61,25 @@ def _lag2(t):
 
 def _shape_functions(cell: str, degree: int):
     """Return ``N(xi) -> (nnodes,)`` and the node coordinates on the ref cell."""
-    if cell == "triangle":
+    if cell == "interval":
+        if degree == 1:
+            nodes = np.array([[0.0], [1.0]])
+
+            def N(xi):
+                return jnp.stack([1 - xi[0], xi[0]])
+
+        elif degree == 2:
+            nodes = np.array([[0.0], [1.0], [0.5]])
+
+            def N(xi):
+                t = xi[0]
+                return jnp.stack(
+                    [(2 * t - 1) * (t - 1), t * (2 * t - 1), 4 * t * (1 - t)]
+                )
+
+        else:
+            raise NotImplementedError(f"P{degree} on {cell}")
+    elif cell == "triangle":
         if degree == 1:
             nodes = np.array([[0.0, 0], [1, 0], [0, 1]])
 
@@ -182,7 +211,10 @@ def quadrature_rule(cell: str, degree: int):
     exactly on the reference cell (tensor rules; Duffy collapse on simplices)."""
     n1 = max(degree // 2 + 1, 1)
     x, w = _gauss01(n1)
-    if cell == "quad":
+    if cell == "interval":
+        pts = x[:, None]
+        wts = w
+    elif cell == "quad":
         X, Y = np.meshgrid(x, x, indexing="ij")
         pts = np.stack([X.ravel(), Y.ravel()], axis=1)
         wts = np.outer(w, w).ravel()

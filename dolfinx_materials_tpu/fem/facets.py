@@ -1,0 +1,144 @@
+"""Boundary facet integrals: Neumann/traction loads and boundary measures.
+
+Replaces the reference's ``ufl.Measure("ds", subdomain_data=facets)`` surface
+loading (e.g. demos/jax/elastoplasticity/plane_elastoplasticity.py:94, the
+hyperelasticity demo's surface tractions). Boundary facets are extracted
+host-side (each facet key appearing exactly once), then the load vector is one
+batched einsum over selected facets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .element import CELL_DIM, FACETS, ReferenceElement
+from .space import FunctionSpace
+
+
+def boundary_facets(mesh):
+    """All boundary facets as (facet_verts (nf, nfv) int32, cell_ids (nf,)).
+
+    A facet is on the boundary iff its sorted-vertex key appears once across all
+    cells (host-side topology pass, the DOLFINx C++ connectivity role).
+    """
+    lf = np.array(FACETS[mesh.cell_type])  # (nlf, nfv)
+    fv = mesh.cells[:, lf]  # (ncells, nlf, nfv)
+    ncells, nlf, nfv = fv.shape
+    flat = fv.reshape(-1, nfv)
+    keys = np.sort(flat, axis=1)
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    on_boundary = counts[inv] == 1
+    cell_ids = np.repeat(np.arange(ncells, dtype=np.int32), nlf)[on_boundary]
+    return flat[on_boundary].astype(np.int32), cell_ids
+
+
+def _facet_cell_type(mesh):
+    return {"triangle": "interval", "quad": "interval",
+            "tetrahedron": "triangle", "hexahedron": "quad"}[mesh.cell_type]
+
+
+def _facet_nodes(space: FunctionSpace, facet_verts):
+    """Global node ids of all space nodes on each facet, ordered to match the
+    facet reference element (vertices first, then edge midpoints)."""
+    mesh = space.mesh
+    if space.degree == 1:
+        return facet_verts
+    # degree 2: append midpoint nodes of every facet edge
+    nv = mesh.num_vertices
+    edge_verts = space._edge_verts
+    lookup = {tuple(sorted(e)): i for i, e in enumerate(edge_verts.tolist())}
+    fct = _facet_cell_type(mesh)
+    if fct == "interval":
+        edges_of_facet = [(0, 1)]
+    elif fct == "triangle":
+        edges_of_facet = [(0, 1), (1, 2), (2, 0)]
+    else:
+        edges_of_facet = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    mids = np.array(
+        [
+            [
+                nv + lookup[tuple(sorted((fvs[a], fvs[b])))]
+                for (a, b) in edges_of_facet
+            ]
+            for fvs in facet_verts.tolist()
+        ],
+        dtype=np.int32,
+    )
+    if fct == "interval":
+        # interval P2 node order: v0, v1, midpoint
+        return np.concatenate([facet_verts, mids], axis=1)
+    if fct == "triangle":
+        return np.concatenate([facet_verts, mids], axis=1)
+    raise NotImplementedError("P2 on hexahedra facets")
+
+
+def assemble_traction(space: FunctionSpace, where, value, quad_degree=4):
+    """Assemble the surface-load vector F_i = ∫_{Γ} t · v_i ds over the boundary
+    facets whose MIDPOINT satisfies ``where(coords (nf, dim)) -> bool``.
+
+    ``value``: constant (ncomp,) vector or callable ``x (m, dim) -> (m, ncomp)``.
+    Returns a numpy (ndofs,) vector for ``NonlinearMaterialProblem.external_force``.
+    """
+    mesh = space.mesh
+    fverts, _ = boundary_facets(mesh)
+    mids = mesh.points[fverts].mean(axis=1)
+    sel = np.asarray(where(mids)).astype(bool)
+    fverts = fverts[sel]
+    if len(fverts) == 0:
+        raise ValueError("no boundary facets selected")
+
+    fct = _facet_cell_type(mesh)
+    # geometry is P1 on the facet; basis is the trace of the space's element
+    geo = ReferenceElement(fct, 1, quad_degree)
+    elem = ReferenceElement(fct, space.degree, quad_degree)
+
+    coords = mesh.points[fverts]  # (nf, nfv, dim)
+    # facet Jacobian dx/dxi: (nf, nq, dim, dimf); area element = sqrt(det(J^T J))
+    J = np.einsum("fvi,qvj->fqij", coords, geo.dN)
+    G = np.einsum("fqij,fqik->fqjk", J, J)
+    detA = np.sqrt(np.linalg.det(G))  # (nf, nq)
+    w = elem.qweights[None, :] * detA
+    x_q = np.einsum("qv,fvi->fqi", geo.N, coords)  # (nf, nq, dim)
+
+    ncomp = space.ncomp
+    if callable(value):
+        t_q = np.asarray(value(x_q.reshape(-1, mesh.dim))).reshape(
+            len(fverts), elem.nq, ncomp
+        )
+    else:
+        t_q = np.broadcast_to(
+            np.asarray(value, dtype=float).reshape(1, 1, ncomp),
+            (len(fverts), elem.nq, ncomp),
+        )
+
+    # F contribution: sum_q w * N_i(q) * t_c(q) on node (i), comp (c)
+    contrib = np.einsum("fq,qv,fqc->fvc", w, elem.N, t_q)
+    nodes = _facet_nodes(space, fverts)  # (nf, nloc_f)
+    dofs = nodes[:, :, None] * ncomp + np.arange(ncomp)[None, None, :]
+    F = np.zeros(space.num_dofs)
+    np.add.at(F, dofs.ravel(), contrib.ravel())
+    return F
+
+
+def assemble_body_force(space: FunctionSpace, value, quad_degree=4, cells=None):
+    """Assemble the body-load vector ∫ f · v dx (constant or callable f)."""
+    from .assembly import QuadratureDomain
+
+    dom = QuadratureDomain(space, quad_degree, cells)
+    ncomp = space.ncomp
+    x_q = np.asarray(dom.x_q)
+    if callable(value):
+        f_q = np.asarray(value(x_q.reshape(-1, space.mesh.dim))).reshape(
+            dom.ne, dom.nq, ncomp
+        )
+    else:
+        f_q = np.broadcast_to(
+            np.asarray(value, dtype=float).reshape(1, 1, ncomp),
+            (dom.ne, dom.nq, ncomp),
+        )
+    contrib = np.einsum("eq,qv,eqc->evc", np.asarray(dom.wdetJ), np.asarray(dom.N), f_q)
+    nodes = space.cell_nodes[np.asarray(dom.cells)]
+    dofs = nodes[:, :, None] * ncomp + np.arange(ncomp)[None, None, :]
+    F = np.zeros(space.num_dofs)
+    np.add.at(F, dofs.ravel(), contrib.ravel())
+    return F

@@ -29,6 +29,7 @@ class FunctionSpace:
             if cell == "hexahedron":
                 raise NotImplementedError("Q2 hexahedra not wired up yet")
             edge_verts, cell_edges = mesh.edges()
+            self._edge_verts = edge_verts  # for facet-restricted dofs (facets.py)
             mid = mesh.points[edge_verts].mean(axis=1)
             parts = [mesh.points, mid]
             nv, ne = mesh.num_vertices, len(edge_verts)

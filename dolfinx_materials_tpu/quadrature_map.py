@@ -156,11 +156,15 @@ class QuadratureMap:
 
     # ---------------------------------------------------------- postprocessing
     def project_on(self, name: str, kind=("DG", 0)):
-        """Project a quadrature state field; DG-0 (cell averages) supported.
-
-        Prefix collection of scalar components is handled by the state manager's
-        flat views (reference :362-401)."""
+        """Project a quadrature state field (reference :362-401):
+        ``("DG", 0)`` -> cell averages (ne, k);
+        ``("P"|"CG", deg)`` -> continuous Lagrange L2 projection, returning
+        ``(FunctionSpace, dof values (nnodes, k))``."""
         vals = self.material.data_manager.s1[name]
         if kind[0] in ("DG", "dg") and kind[1] == 0:
             return np.asarray(project_dg0(self.domain, vals))
+        if kind[0] in ("P", "CG", "Lagrange"):
+            from .fem.assembly import project_cg
+
+            return project_cg(self.domain, vals, degree=kind[1])
         raise NotImplementedError(kind)
