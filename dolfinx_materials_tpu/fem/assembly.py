@@ -34,7 +34,10 @@ class QuadratureDomain:
     material state lives, and provides evaluation/assembly kernels on it.
     """
 
-    def __init__(self, space: FunctionSpace, quad_degree: int, cells=None):
+    def __init__(self, space: FunctionSpace, quad_degree: int, cells=None, weight=None):
+        """``weight``: optional callable x (m, dim) -> (m,) multiplying the
+        integration measure (e.g. ``lambda x: 2*pi*x[:, 0]`` for axisymmetry,
+        the reference's axi_grad + r-measure pattern, utils.py:215-237)."""
         mesh = space.mesh
         self.space = space
         self.quad_degree = quad_degree
@@ -61,8 +64,14 @@ class QuadratureDomain:
         dNdx = np.einsum("qvj,cqji->cqvi", elem.dN, invJ)
         self.dNdx = jnp.asarray(dNdx)  # (ne, nq, nloc, dim)
         self.N = jnp.asarray(elem.N)  # (nq, nloc)
-        self.wdetJ = jnp.asarray(elem.qweights[None, :] * np.abs(detJ))  # (ne, nq)
-        self.x_q = jnp.asarray(np.einsum("qv,cvi->cqi", geo.N, coords))  # (ne,nq,dim)
+        x_q = np.einsum("qv,cvi->cqi", geo.N, coords)  # (ne, nq, dim)
+        wdetJ = elem.qweights[None, :] * np.abs(detJ)
+        if weight is not None:
+            wdetJ = wdetJ * np.asarray(
+                weight(x_q.reshape(-1, x_q.shape[-1]))
+            ).reshape(wdetJ.shape)
+        self.wdetJ = jnp.asarray(wdetJ)  # (ne, nq)
+        self.x_q = jnp.asarray(x_q)
         self.dofmap = jnp.asarray(space.dofmap[self.cells])  # (ne, ndof_el)
         self.cell_volumes = jnp.sum(self.wdetJ, axis=1)
 

@@ -97,6 +97,22 @@ def deformation_gradient(dim):
     return deformation_gradient_2d() if dim == 2 else deformation_gradient_3d()
 
 
+def axisymmetric_strain():
+    """Axisymmetric (r, z) displacement (u_r, u_z) -> Mandel strain
+    [e_rr, e_tt, e_zz, s2 e_rz, 0, 0] with the hoop strain u_r / r
+    (reference ``axi_grad``, utils.py:215-237). Pair with a QuadratureDomain
+    ``weight=lambda x: 2*pi*x[:, 0]`` measure."""
+
+    def expr(ctx):
+        g = ctx.grad
+        r = ctx.x[0]
+        z = jnp.zeros((), g.dtype)
+        erz = 0.5 * (g[0, 1] + g[1, 0])
+        return jnp.stack([g[0, 0], ctx.u[0] / r, g[1, 1], SQ2 * erz, z, z])
+
+    return expr
+
+
 def scalar_gradient():
     """Scalar field -> its spatial gradient (dim,) (heat conduction ∇T)."""
 

@@ -32,6 +32,7 @@ from .viscoplasticity import (  # noqa: F401
 from .thermal import NonlinearHeatTransfer, PhaseChangeHeatTransfer  # noqa: F401
 from .nonlinear_elasticity import RambergOsgoodNonLinearElasticity  # noqa: F401
 from .nn import NeuralBehavior  # noqa: F401
+from .hypotheses import PlaneStress  # noqa: F401
 from .conic import (  # noqa: F401
     HosfordPlasticity,
     L1RankinePlasticity,

@@ -35,10 +35,11 @@ class QuadratureMap:
         material: Material,
         cells=None,
         check_nans: bool = True,
+        weight=None,
     ):
         self.space = space
         self.material = material
-        self.domain = QuadratureDomain(space, deg_quad, cells)
+        self.domain = QuadratureDomain(space, deg_quad, cells, weight=weight)
         material.set_data_manager(self.domain.num_points)
         self.dt = 0.0
         #: assert flux/tangent finiteness after every integration (the
