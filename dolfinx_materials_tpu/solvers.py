@@ -191,6 +191,15 @@ class NonlinearMaterialProblem:
             du, _ = jax.scipy.sparse.linalg.cg(
                 Av, b, tol=self.ksp_rtol, maxiter=self.ksp_maxiter, M=M
             )
+        # Krylov quality guard: on (near-)singular tangents the iteration can
+        # diverge and return enormous garbage. Fall back to a preconditioned
+        # gradient step — a guaranteed descent-ish direction for the line search.
+        lin_res = jnp.linalg.norm(Av(du) - b)
+        b_norm = jnp.linalg.norm(b)
+        bad = jnp.logical_or(
+            ~jnp.isfinite(lin_res), lin_res > 0.9 * b_norm
+        )
+        du = jnp.where(bad, M(b), du)
         return du
 
     # ----------------------------------------------------------------- solve
@@ -211,8 +220,13 @@ class NonlinearMaterialProblem:
         res_history = []
         with timer("solver: Newton solve"):
             for it in range(self.max_it):
-                with timer("solver: constitutive update"):
-                    self._constitutive_update(u_arr)
+                try:
+                    with timer("solver: constitutive update"):
+                        self._constitutive_update(u_arr)
+                except FloatingPointError:
+                    if self.verbose:
+                        print("  non-finite constitutive state; aborting Newton")
+                    break  # converged stays False -> caller cuts the load step
                 R = self._residual(u_arr)
                 Rm = jnp.where(jnp.asarray(mask), 0.0, R)
                 norm = float(jnp.linalg.norm(Rm))
@@ -233,17 +247,30 @@ class NonlinearMaterialProblem:
                     # backtracking on the residual norm (SNES newtonls role,
                     # reference solvers.py petsc_options "snes_linesearch_type")
                     alpha = 1.0
+                    best_alpha, best_n = None, np.inf
                     for _ in range(self.max_backtracks):
                         u_try = u_arr + alpha * du
-                        self._constitutive_update(u_try)
-                        R_try = self._residual(u_try)
-                        n_try = float(
-                            jnp.linalg.norm(jnp.where(jnp.asarray(mask), 0.0, R_try))
-                        )
+                        try:
+                            self._constitutive_update(u_try)
+                            R_try = self._residual(u_try)
+                            n_try = float(
+                                jnp.linalg.norm(
+                                    jnp.where(jnp.asarray(mask), 0.0, R_try)
+                                )
+                            )
+                        except FloatingPointError:
+                            n_try = np.inf  # overflowed trial: keep backtracking
+                        if np.isfinite(n_try) and n_try < best_n:
+                            best_alpha, best_n = alpha, n_try
                         if np.isfinite(n_try) and n_try < (1 - 1e-4 * alpha) * norm:
                             break
                         alpha *= 0.5
-                    u_arr = u_arr + alpha * du
+                    if best_alpha is None or best_n >= norm:
+                        # total line-search failure: do not walk into garbage
+                        if self.verbose:
+                            print("  line search stagnated; aborting Newton")
+                        break
+                    u_arr = u_arr + best_alpha * du
                 else:
                     u_arr = u_arr + du
 
@@ -259,3 +286,40 @@ class NonlinearMaterialProblem:
             for qmap in self.qmaps:
                 qmap.advance()
         return self.converged, self.iterations
+
+
+def solve_adaptive(problem, set_load, t_end, nsteps0=10, max_cutbacks=10, growth=1.5):
+    """Load stepping with automatic cutback: on Newton failure, restore the last
+    converged solution, revert the trial state (the reference's dormant
+    ``DataManager.revert()`` capability, SURVEY.md §5 / generic.py:215-216), halve
+    the step, retry; grow the step again after successes.
+
+    ``set_load(t)`` applies the load parameter t in [0, t_end].
+    Returns the list of accepted t values.
+    """
+    t, dt_step = 0.0, t_end / nsteps0
+    accepted = []
+    cutbacks = 0
+    u_backup = problem.u.x.copy()
+    while t < t_end - 1e-12 * t_end:
+        t_try = min(t + dt_step, t_end)
+        set_load(t_try)
+        converged, _ = problem.solve()
+        if converged:
+            t = t_try
+            accepted.append(t)
+            u_backup = problem.u.x.copy()
+            cutbacks = 0
+            dt_step = min(dt_step * growth, t_end - t + 1e-30)
+        else:
+            problem.u.x = u_backup.copy()
+            for qmap in problem.qmaps:
+                qmap.revert()
+            dt_step *= 0.5
+            cutbacks += 1
+            if cutbacks > max_cutbacks:
+                raise RuntimeError(
+                    f"load stepping failed at t={t_try:.4g} after "
+                    f"{max_cutbacks} cutbacks"
+                )
+    return accepted
