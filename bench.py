@@ -37,7 +37,10 @@ def main():
     eps_T = jnp.asarray((rng.normal(size=(6, n)) * 2e-2).astype(np.float32))
     epsp_T = jnp.zeros((6, n), jnp.float32)
     p_row = jnp.zeros((1, n), jnp.float32)
-    update = make_j2_pallas_update(el, hard, tile=4096)
+    # tile/iteration tuning on v5e: 16384-lane tiles keep the whole working set
+    # streaming through VMEM; 8 Newton iterations are converged to f32 epsilon
+    # (verified vs 20 iterations: relative diffs ~1e-9)
+    update = make_j2_pallas_update(el, hard, tile=16384, n_iter=8)
 
     # The measurement runs K chained updates INSIDE one jit (every iteration's
     # inputs depend on the previous outputs, so nothing can be elided or
