@@ -16,3 +16,10 @@ from .mesh import (  # noqa: F401
 from .element import ReferenceElement, quadrature_rule  # noqa: F401
 from .space import Function, FunctionSpace  # noqa: F401
 from .bc import DirichletBC, locate_dofs_geometrical  # noqa: F401
+from .facets import (  # noqa: F401
+    assemble_body_force,
+    assemble_traction,
+    boundary_facets,
+)
+from .gmsh_io import read_msh  # noqa: F401
+from .io import write_vtk  # noqa: F401

@@ -99,3 +99,40 @@ class Ogden(HyperelasticBehavior):
             trCa = jnp.trace(matfun.expm(0.5 * a_p * logC))
             W = W + 2.0 * mu_p / a_p**2 * (J ** (-a_p / 3.0) * trCa - 3.0)
         return W
+
+    # ------------------------------------------------- TPU whole-batch path
+    def strain_energy_batched(self, Fv):
+        """Energy of a whole batch, feature-major (3,3,n) internals.
+
+        The vmapped per-point path materializes (n,3,3) intermediates whose
+        minor (3,3) dims pad ~42x on TPU tiles; this path keeps the point axis
+        on the 128-wide lanes (ops/matfun_fm.py). ``Fv (n,9) -> W (n,)``."""
+        from ..ops import matfun_fm as fm
+
+        F = fm.from_nonsym_rows(Fv)
+        C = fm.bmm(fm.transpose(F), F)
+        J = jnp.sqrt(fm.det(C))
+        W = 0.5 * self.K * (J - 1.0) ** 2
+        logC = fm.logm(C)
+        for mu_p, a_p in zip(self.mu, self.alpha):
+            trCa = fm.trace(fm.expm(0.5 * a_p * logC))
+            W = W + 2.0 * mu_p / a_p**2 * (J ** (-a_p / 3.0) * trCa - 3.0)
+        return W
+
+    def batched_update(self, Fv, state, dt):
+        """Whole-batch PK1 + consistent tangent (picked up by Material.integrate):
+        PK1 from one reverse-mode pass over the batch energy (per-point energies
+        are independent, so grad-of-sum IS the per-point gradient), tangent from
+        9 batched forward-mode columns."""
+
+        def pk1_fn(x):
+            return jax.grad(lambda y: jnp.sum(self.strain_energy_batched(y)))(x)
+
+        pk1 = pk1_fn(Fv)
+        n = Fv.shape[0]
+        cols = []
+        for k in range(9):
+            seed = jnp.zeros_like(Fv).at[:, k].set(1.0)
+            cols.append(jax.jvp(pk1_fn, (Fv,), (seed,))[1])
+        Ct = jnp.stack(cols, axis=-1)  # (n, 9, 9) = d pk1_i / d F_k
+        return pk1, Ct.reshape(n, 81), state
