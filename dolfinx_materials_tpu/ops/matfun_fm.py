@@ -18,8 +18,20 @@ import jax.numpy as jnp
 
 
 def bmm(A, B):
-    """(3,3,n) @ (3,3,n) batched over the trailing axis."""
-    return jnp.einsum("ikn,kjn->ijn", A, B)
+    """(3,3,n) @ (3,3,n) batched over the trailing axis.
+
+    Unrolled into 27 elementwise FMAs on (n,) vectors — an einsum would lower
+    to ``dot_general`` whose canonical batch-first form re-creates (n,3,3)
+    temporaries and their ~57x TPU tile padding."""
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            row.append(
+                A[i, 0] * B[0, j] + A[i, 1] * B[1, j] + A[i, 2] * B[2, j]
+            )
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
 
 
 def transpose(A):
@@ -67,52 +79,66 @@ def to_nonsym_rows(A):
 
 
 def sqrtm_ns(X, iters: int = 18):
-    """Coupled Newton-Schulz sqrt/inv-sqrt for SPD (3,3,n)."""
+    """Coupled Newton-Schulz sqrt/inv-sqrt for SPD (3,3,n).
+
+    Iterations are ``lax.fori_loop``-rolled: the fully unrolled chain (hundreds
+    of bmm's after the AD passes) explodes XLA compile time; rolled loops keep
+    the HLO small at zero cost on (n,)-wide lanes."""
+    import jax
+
     c = trace(X) / 3.0
     c = jnp.where(c <= 0, 1.0, c)
     A = X / c
     I = eye_like(X)
-    Y, Z = A, I
-    for _ in range(iters):
+
+    def body(_, YZ):
+        Y, Z = YZ
         T = 0.5 * (3.0 * I - bmm(Z, Y))
-        Y = bmm(Y, T)
-        Z = bmm(T, Z)
+        return bmm(Y, T), bmm(T, Z)
+
+    Y, Z = jax.lax.fori_loop(0, iters, body, (A, I))
     s = jnp.sqrt(c)
     return s * Y, Z / s
 
 
 def _inv_near(A, X0, iters: int = 8):
+    import jax
+
     I2 = 2.0 * eye_like(A)
-    X = X0
-    for _ in range(iters):
-        X = bmm(X, I2 - bmm(A, X))
-    return X
+    return jax.lax.fori_loop(
+        0, iters, lambda _, X: bmm(X, I2 - bmm(A, X)), X0
+    )
 
 
 def logm(X, roots: int = 5, series_terms: int = 10, ns_iters: int = 16):
+    import jax
+
     I = eye_like(X)
-    Xr = X
-    for _ in range(roots):
-        Xr = sqrtm_ns(Xr, ns_iters)[0]
+    Xr = jax.lax.fori_loop(
+        0, roots, lambda _, M: sqrtm_ns(M, ns_iters)[0], X
+    )
     S = bmm(Xr - I, _inv_near(Xr + I, 0.5 * I))
     S2 = bmm(S, S)
-    acc = jnp.zeros_like(X)
-    term = S
-    for k in range(series_terms):
-        acc = acc + term / (2 * k + 1)
-        term = bmm(term, S2)
+
+    def body(k, at):
+        acc, term = at
+        return acc + term / (2 * k + 1).astype(X.dtype), bmm(term, S2)
+
+    acc, _ = jax.lax.fori_loop(0, series_terms, body, (jnp.zeros_like(X), S))
     return (2.0 ** (roots + 1)) * acc
 
 
 def expm(X, squarings: int = 12, series_terms: int = 14):
+    import jax
+
     s = 2.0**squarings
     A = X / s
     I = eye_like(X)
-    acc = I
-    term = I
-    for k in range(1, series_terms + 1):
-        term = bmm(term, A) / k
-        acc = acc + term
-    for _ in range(squarings):
-        acc = bmm(acc, acc)
-    return acc
+
+    def series(k, at):
+        acc, term = at
+        term = bmm(term, A) / k.astype(X.dtype)
+        return acc + term, term
+
+    acc, _ = jax.lax.fori_loop(1, series_terms + 1, series, (I, I))
+    return jax.lax.fori_loop(0, squarings, lambda _, M: bmm(M, M), acc)
