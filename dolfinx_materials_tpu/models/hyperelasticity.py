@@ -106,17 +106,20 @@ class Ogden(HyperelasticBehavior):
 
         The vmapped per-point path materializes (n,3,3) intermediates whose
         minor (3,3) dims pad ~42x on TPU tiles; this path keeps the point axis
-        on the 128-wide lanes (ops/matfun_fm.py). ``Fv (n,9) -> W (n,)``."""
+        on the 128-wide lanes. Stretch powers come from the closed-form Cardano
+        eigenvalues of C (ops/matfun_fm.eigvals_sym) — the energy is an
+        isotropic invariant function, so eigenVECTORS are never needed and the
+        whole update is ~100 elementwise ops. ``Fv (n,9) -> W (n,)``."""
         from ..ops import matfun_fm as fm
 
         F = fm.from_nonsym_rows(Fv)
         C = fm.bmm(fm.transpose(F), F)
         J = jnp.sqrt(fm.det(C))
         W = 0.5 * self.K * (J - 1.0) ** 2
-        logC = fm.logm(C)
+        lams = fm.eigvals_sym(C)  # squared stretches, guarded positive
         for mu_p, a_p in zip(self.mu, self.alpha):
-            trCa = fm.trace(fm.expm(0.5 * a_p * logC))
-            W = W + 2.0 * mu_p / a_p**2 * (J ** (-a_p / 3.0) * trCa - 3.0)
+            tr_a = sum(jnp.maximum(l, 1e-12) ** (0.5 * a_p) for l in lams)
+            W = W + 2.0 * mu_p / a_p**2 * (J ** (-a_p / 3.0) * tr_a - 3.0)
         return W
 
     def batched_update(self, Fv, state, dt):

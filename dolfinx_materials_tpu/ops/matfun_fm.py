@@ -78,6 +78,37 @@ def to_nonsym_rows(A):
     )
 
 
+def eigvals_sym(S, eps=1e-12, delta=1e-12):
+    """Closed-form (Cardano) eigenvalues of symmetric (3,3,n), ascending,
+    smooth-guarded (the feature-major twin of tensors.eigvals33_smooth).
+
+    ~50 elementwise ops on (n,) lanes — the fast path for isotropic invariant
+    functions (Ogden stretch powers) where eigenVECTORS are not needed."""
+    import numpy as np
+
+    q = trace(S) / 3.0
+    B00 = S[0, 0] - q
+    B11 = S[1, 1] - q
+    B22 = S[2, 2] - q
+    p2 = (
+        B00 * B00 + B11 * B11 + B22 * B22
+        + 2.0 * (S[0, 1] ** 2 + S[0, 2] ** 2 + S[1, 2] ** 2)
+    )
+    scale2 = sum(S[i, j] ** 2 for i in range(3) for j in range(3))
+    p = jnp.sqrt(p2 / 6.0 + eps * eps * (scale2 + 1.0))
+    detB = (
+        B00 * (B11 * B22 - S[1, 2] * S[2, 1])
+        - S[0, 1] * (S[1, 0] * B22 - S[1, 2] * S[2, 0])
+        + S[0, 2] * (S[1, 0] * S[2, 1] - B11 * S[2, 0])
+    )
+    r = jnp.clip(detB / (2.0 * p**3), -1.0 + delta, 1.0 - delta)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    return lam3, lam2, lam1
+
+
 def sqrtm_ns(X, iters: int = 18):
     """Coupled Newton-Schulz sqrt/inv-sqrt for SPD (3,3,n).
 

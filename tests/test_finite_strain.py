@@ -62,10 +62,13 @@ def small_strain_tangent(mat):
 
 
 def test_neohooke_and_ogden_small_strain_limit():
+    # F = I is a triply-degenerate stretch state: the Ogden fast path's
+    # closed-form eigenvalue derivatives are clamp-guarded there and accurate
+    # to ~1e-5 (docs/design.md §3) — hence the looser bar than elsewhere
     C_iso = np.asarray(tn.isotropic_C(E, nu))
     for beh in [NeoHooke(mu=mu, K=kappa), Ogden(mu=(mu,), alpha=(2.5,), K=kappa)]:
         C6 = small_strain_tangent(Material(beh))
-        np.testing.assert_allclose(C6, C_iso, rtol=1e-6, atol=1e-6 * mu)
+        np.testing.assert_allclose(C6, C_iso, rtol=3e-5, atol=3e-5 * mu)
 
 
 def test_ogden_energy_vs_eigendecomposition():
