@@ -29,7 +29,11 @@ from .viscoplasticity import (  # noqa: F401
     GeneralizedStandardMaterial,
     NortonViscoplasticity,
 )
-from .thermal import NonlinearHeatTransfer, PhaseChangeHeatTransfer  # noqa: F401
+from .thermal import (  # noqa: F401
+    NonlinearHeatTransfer,
+    PhaseChangeHeatTransfer,
+    ThermoElasticIsotropic,
+)
 from .nonlinear_elasticity import RambergOsgoodNonLinearElasticity  # noqa: F401
 from .nn import NeuralBehavior  # noqa: F401
 from .hypotheses import PlaneStress  # noqa: F401

@@ -41,6 +41,39 @@ class NonlinearHeatTransfer(Behavior):
         return {"HeatFlux": -self.conductivity(T) * g}, state
 
 
+class ThermoElasticIsotropic(Behavior):
+    """Thermo-elasticity: sig = C : (eps - alpha (T - T0) I).
+
+    Exercises the flux x external-state-variable tangent block
+    (d Stress / d Temperature) in a mechanical behavior — the coupling pattern
+    of the reference's generalized-behaviour machinery applied to mechanics.
+    Use in a staggered thermo-mechanical loop (demos/thermomechanics.py).
+    """
+
+    def __init__(self, E, nu, alpha_th, T0=293.15):
+        from .elasticity import LinearElasticIsotropic
+
+        self.elastic = LinearElasticIsotropic(E, nu)
+        self.alpha_th = alpha_th
+        self.T0 = T0
+        self.gradients = {"Strain": 6}
+        self.fluxes = {"Stress": 6}
+        self.external_state_variables = {"Temperature": 1}
+        self.extra_tangent_blocks = [("Stress", "Temperature")]
+
+    def constitutive_update(self, inputs, state, dt):
+        import jax.numpy as jnp
+
+        from ..ops import tensors
+
+        eps = inputs["Strain"]
+        T = inputs["Temperature"][0]
+        eps_th = self.alpha_th * (T - self.T0) * jnp.asarray(
+            tensors.I2, eps.dtype
+        )
+        return {"Stress": self.elastic.stress(eps - eps_th)}, state
+
+
 class PhaseChangeHeatTransfer(Behavior):
     """Conduction with solid/liquid phase change via a smoothed enthalpy ISV.
 
