@@ -203,9 +203,13 @@ class NonlinearMaterialProblem:
         return du
 
     # ----------------------------------------------------------------- solve
-    def solve(self):
+    def solve(self, commit: bool = True):
         """Newton iterations; returns (converged, iterations) like the
-        reference's ``problem.solve()`` contract (solvers.py:182-196)."""
+        reference's ``problem.solve()`` contract (solvers.py:182-196).
+
+        ``commit=False`` skips ``advance()`` on convergence — used by coupled
+        outer iterations that must only commit once the WHOLE multi-field step
+        has converged (solve_coupled)."""
         ndofs = self.u.space.num_dofs
         mask, bc_vals = combine_bcs(self.bcs, ndofs)
         u_arr = jnp.asarray(self.u.x)
@@ -282,10 +286,46 @@ class NonlinearMaterialProblem:
             "wall_time_s": _time.perf_counter() - t_start,
             "gauss_points": sum(q.num_points for q in self.qmaps),
         }
-        if self.converged:
+        if self.converged and commit:
             for qmap in self.qmaps:
                 qmap.advance()
         return self.converged, self.iterations
+
+
+def solve_coupled(problems, transfers, max_outer=25, rtol=1e-8, atol=1e-12):
+    """Monolithic-by-iteration multi-field solve (block Gauss-Seidel).
+
+    The reference supports blocked/nest multi-space problems through PETSc
+    (solvers.py:75-95); here the partitioned equivalent: iterate over the
+    single-field Newton problems, pushing fields between them via ``transfers``
+    (callables run before each sub-solve, e.g. updating the mechanical
+    material's Temperature ESV from the current thermal solution), until no
+    field's solution changes. State commits (``advance``) happen only once, on
+    outer convergence — intermediate sub-solves run with ``commit=False`` so
+    history variables are not polluted by unconverged passes.
+
+    Returns (converged, n_outer).
+    """
+    import numpy as _np
+
+    for outer in range(max_outer):
+        change = 0.0
+        scale = 0.0
+        for prob, transfer in zip(problems, transfers):
+            if transfer is not None:
+                transfer()
+            u_old = prob.u.x.copy()
+            ok, _ = prob.solve(commit=False)
+            if not ok:
+                return False, outer
+            change = max(change, float(_np.linalg.norm(prob.u.x - u_old)))
+            scale = max(scale, float(_np.linalg.norm(prob.u.x)))
+        if change <= atol + rtol * max(scale, 1.0):
+            for prob in problems:
+                for qmap in prob.qmaps:
+                    qmap.advance()
+            return True, outer + 1
+    return False, max_outer
 
 
 def solve_adaptive(problem, set_load, t_end, nsteps0=10, max_cutbacks=10, growth=1.5):
