@@ -29,4 +29,8 @@ class PerformanceWarning(UserWarning):
 from .material import Material  # noqa: E402,F401
 from .state import DataManager, MaterialStateManager  # noqa: E402,F401
 from .quadrature_map import QuadratureMap  # noqa: E402,F401
-from .solvers import NonlinearMaterialProblem, solve_adaptive  # noqa: E402,F401
+from .solvers import (  # noqa: E402,F401
+    NonlinearMaterialProblem,
+    solve_adaptive,
+    solve_coupled,
+)
