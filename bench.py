@@ -46,28 +46,26 @@ def main():
     # inputs depend on the previous outputs, so nothing can be elided or
     # overlapped), and times K2 vs K1 differentially: per-dispatch/tunnel
     # overhead cancels, leaving pure device throughput.
-    def make_loop(K):
-        @jax.jit
-        def loop(eT, epT, pr):
-            def body(i, carry):
-                e, ep, pp = carry
-                sig, Ct, epn, pn = update(e, ep, pp)
-                # fold outputs back into the chain (full data dependence)
-                e = eps_T + 1e-9 * Ct[:6] + 1e-9 * Ct[30:] + 1e-6 * sig
-                return (e, epn, pn)
+    # K is a TRACED loop bound (fori_loop lowers to while_loop): ONE compile
+    # serves every K, keeping bench wall-clock bounded on slow remote compiles.
+    @jax.jit
+    def loop(eT, epT, pr, K):
+        def body(i, carry):
+            e, ep, pp = carry
+            sig, Ct, epn, pn = update(e, ep, pp)
+            # fold outputs back into the chain (full data dependence)
+            e = eps_T + 1e-9 * Ct[:6] + 1e-9 * Ct[30:] + 1e-6 * sig
+            return (e, epn, pn)
 
-            return jax.lax.fori_loop(0, K, body, (eT, epT, pr))
-
-        return loop
+        return jax.lax.fori_loop(0, K, body, (eT, epT, pr))
 
     def timed(K, reps=3):
-        loop = make_loop(K)
-        out = loop(eps_T, epsp_T, p_row)
+        out = loop(eps_T, epsp_T, p_row, K)
         jax.block_until_ready(out)
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = loop(eps_T, epsp_T, p_row)
+            out = loop(eps_T, epsp_T, p_row, K)
             s = float(jnp.sum(out[0]))  # host-sync on a scalar
             best = min(best, time.perf_counter() - t0)
         return best
