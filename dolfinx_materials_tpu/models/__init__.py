@@ -6,7 +6,10 @@ functions, batched by the :class:`~dolfinx_materials_tpu.material.Material` adap
 """
 
 from .base import Behavior, SmallStrainBehavior, FiniteStrainBehavior  # noqa: F401
-from .elasticity import LinearElasticIsotropic  # noqa: F401
+from .elasticity import (  # noqa: F401
+    LinearElasticIsotropic,
+    LinearElasticOrthotropic,
+)
 from .hardening import (  # noqa: F401
     LinearHardening,
     VoceHardening,
