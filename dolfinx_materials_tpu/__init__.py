@@ -17,6 +17,24 @@ bleyerj/dolfinx_materials v0.4.0) designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("DXM_TPU_MATMUL_PRECISION", "highest") != "default":
+    # TPU matmuls default to bf16 inputs; that is right for NN training but
+    # WRONG for FEM tangent assembly: a ~1e-3-relative Jacobian is inconsistent
+    # with the f32 residual and Newton stalls (observed on hardware: a linear
+    # elastic solve reduced |R| by only 7% per iteration). Consistent-tangent
+    # Newton is the core product here, so default every matmul/einsum to full
+    # f32. NN surrogate layers that want bf16 MXU throughput pass an explicit
+    # ``precision=`` at their call sites. Opt out with
+    # DXM_TPU_MATMUL_PRECISION=default.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("DXM_TPU_MATMUL_PRECISION", "highest"),
+    )
+
 
 class PerformanceWarning(UserWarning):
     """Warns of a performance-degrading fallback path.

@@ -99,16 +99,19 @@ def deformation_gradient(dim):
 
 def axisymmetric_strain():
     """Axisymmetric (r, z) displacement (u_r, u_z) -> Mandel strain
-    [e_rr, e_tt, e_zz, s2 e_rz, 0, 0] with the hoop strain u_r / r
-    (reference ``axi_grad``, utils.py:215-237). Pair with a QuadratureDomain
-    ``weight=lambda x: 2*pi*x[:, 0]`` measure."""
+    [e_rr, e_tt, e_zz, 0, s2 e_rz, 0] with the hoop strain u_r / r
+    (reference ``axi_grad``, utils.py:215-237). With axes ordered (r, theta, z),
+    the r-z shear lives in the 13-slot (Mandel index 4), matching the reference's
+    ``axi_grad`` + ``symmetric_tensor_to_vector`` convention — principal-stress
+    models and rotation operators rely on this placement. Pair with a
+    QuadratureDomain ``weight=lambda x: 2*pi*x[:, 0]`` measure."""
 
     def expr(ctx):
         g = ctx.grad
         r = ctx.x[0]
         z = jnp.zeros((), g.dtype)
         erz = 0.5 * (g[0, 1] + g[1, 0])
-        return jnp.stack([g[0, 0], ctx.u[0] / r, g[1, 1], SQ2 * erz, z, z])
+        return jnp.stack([g[0, 0], ctx.u[0] / r, g[1, 1], z, SQ2 * erz, z])
 
     return expr
 

@@ -170,6 +170,11 @@ class Material:
             self.material_property_values[name] = jnp.asarray(values)
         else:
             setattr(self.behavior, name, values)
+            # drop any behavior-level cached whole-batch kernel that closed over
+            # the old parameters (e.g. vonMisesIsotropicHardening._fast), then
+            # rebuild the jitted paths
+            for cached in ("_fast", "_fast_key", "_batched", "_kernel"):
+                self.behavior.__dict__.pop(cached, None)
             self._build_batched()
 
     # ------------------------------------------------------------- rotations

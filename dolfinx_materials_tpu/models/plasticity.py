@@ -50,11 +50,17 @@ class vonMisesIsotropicHardening(SmallStrainBehavior):
     def batched_update(self, eps, state, dt):
         """Hand-optimized whole-batch fast path (analytic consistent tangent,
         ops/j2_fast.py); picked up by Material.integrate. Verified to 1e-8
-        against the generic IFT path in tests/test_j2_fast.py."""
-        if not hasattr(self, "_fast"):
+        against the generic IFT path in tests/test_j2_fast.py.
+
+        The cached kernel closes over elasticity/yield_stress, so the cache is
+        keyed on those objects: swapping parameters (update_material_property)
+        rebuilds instead of silently using stale moduli."""
+        key = (id(self.elasticity), id(self.yield_stress))
+        if getattr(self, "_fast_key", None) != key:
             from ..ops.j2_fast import make_j2_batched_update
 
             self._fast = make_j2_batched_update(self.elasticity, self.yield_stress)
+            self._fast_key = key
         return self._fast(eps, state, dt)
 
     def small_strain_update(self, eps, state, dt):

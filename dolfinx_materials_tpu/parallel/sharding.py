@@ -260,14 +260,24 @@ def make_sharded_newton_step(
         res_norm = jnp.linalg.norm(jnp.where(bc_mask, 0.0, scatter(r_e)))
         return u, new_state, res_norm
 
+    npoints_real = ne_real * nq
+
+    def unpad_state(state):
+        """Trim padding Gauss points (cells padded to a mesh-size multiple point
+        at dof 0 and integrate garbage strains) so callers can commit the
+        returned state into a real DataManager safely."""
+        return jax.tree.map(lambda a: a[:npoints_real], state)
+
     def step(u, internal_state, bc_mask, bc_vals, dt=0.0):
         state_p = pad_state(internal_state)
-        return _step(
+        u_new, new_state, res_norm = _step(
             jnp.asarray(u), *tables, state_p,
             jnp.asarray(bc_mask), jnp.asarray(bc_vals), dt,
         )
+        return u_new, unpad_state(new_state), res_norm
 
     step.tables = tables
     step.ne_real = ne_real
     step.pad_state = pad_state
+    step.unpad_state = unpad_state
     return jax.jit(step, static_argnames=()), pad_state

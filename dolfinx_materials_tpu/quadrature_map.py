@@ -34,7 +34,7 @@ class QuadratureMap:
         deg_quad: int,
         material: Material,
         cells=None,
-        check_nans: bool = True,
+        check_nans: bool = False,
         weight=None,
     ):
         self.space = space
@@ -43,8 +43,9 @@ class QuadratureMap:
         material.set_data_manager(self.domain.num_points)
         self.dt = 0.0
         #: assert flux/tangent finiteness after every integration (the
-        #: reference's NaN assertions, quadrature_map.py:322-324). Host-syncs;
-        #: disable on hot TPU paths.
+        #: reference's NaN assertions, quadrature_map.py:322-324). Off by
+        #: default: even the reduced-scalar form costs one blocking host sync
+        #: per Newton iteration; solvers/tests opt in for debugging.
         self.check_nans = check_nans
 
         self.gradient_exprs: dict = {}
@@ -103,14 +104,20 @@ class QuadratureMap:
             flux, isv, Ct = self.material.integrate(grad_vals, self.dt)
 
         if self.check_nans:
-            import numpy as _np
-
-            for name, arr in (("flux", flux), ("isv", isv), ("tangent", Ct)):
-                if not _np.isfinite(_np.asarray(arr)).all():
-                    raise FloatingPointError(
-                        f"Material integration of {self.material.name} produced "
-                        f"non-finite {name} values"
-                    )
+            # one reduced scalar per array, one host sync total (not a full
+            # device->host copy of every state array)
+            sums = jnp.stack([jnp.sum(flux), jnp.sum(isv), jnp.sum(Ct)])
+            finite = np.isfinite(np.asarray(sums))
+            if not finite.all():
+                names = [
+                    n
+                    for n, ok in zip(("flux", "isv", "tangent"), finite)
+                    if not ok
+                ]
+                raise FloatingPointError(
+                    f"Material integration of {self.material.name} produced "
+                    f"non-finite {', '.join(names)} values"
+                )
 
         self._flux = flux
         self._Ct = Ct

@@ -55,11 +55,14 @@ class NonlinearMaterialProblem:
         self.bcs = list(bcs)
         self.external_force = external_force
         o = dict(options or {})
-        self.rtol = o.pop("rtol", 1e-10)
-        self.atol = o.pop("atol", 1e-10)
+        # dtype-aware defaults: 1e-10 is reachable in f64 but far below the f32
+        # noise floor — on TPU (f32 default) Newton would line-search-stagnate
+        # at ~1e-7 |R|/|R0| and report failure on perfectly converged solves
+        self.rtol = o.pop("rtol", None)
+        self.atol = o.pop("atol", None)
         self.max_it = o.pop("max_it", 25)
         self.ksp_type = o.pop("ksp_type", "cg")
-        self.ksp_rtol = o.pop("ksp_rtol", 1e-12)
+        self.ksp_rtol = o.pop("ksp_rtol", None)  # dtype-aware, resolved in solve
         self.ksp_maxiter = o.pop("ksp_maxiter", 2000)
         self.line_search = o.pop("line_search", True)
         self.max_backtracks = o.pop("max_backtracks", 12)
@@ -215,6 +218,14 @@ class NonlinearMaterialProblem:
         u_arr = jnp.asarray(self.u.x)
         # enforce Dirichlet values exactly (then Newton corrections vanish there)
         u_arr = jnp.where(jnp.asarray(mask), jnp.asarray(bc_vals), u_arr)
+        eps_dtype = float(jnp.finfo(u_arr.dtype).eps)
+        f64 = eps_dtype < 1e-9
+        rtol = self.rtol if self.rtol is not None else (
+            1e-10 if f64 else 50.0 * eps_dtype
+        )
+        atol = self.atol if self.atol is not None else (1e-10 if f64 else 0.0)
+        if self.ksp_rtol is None:
+            self.ksp_rtol = 1e-12 if f64 else 1e-7
 
         norm0 = None
         self.converged = False
@@ -234,12 +245,19 @@ class NonlinearMaterialProblem:
                 R = self._residual(u_arr)
                 Rm = jnp.where(jnp.asarray(mask), 0.0, R)
                 norm = float(jnp.linalg.norm(Rm))
+                if not np.isfinite(norm):
+                    # NaN/inf in the constitutive state propagates into |R|,
+                    # which we fetch anyway — free non-finite detection without
+                    # the dedicated check_nans host sync (off by default)
+                    if self.verbose:
+                        print("  non-finite residual; aborting Newton")
+                    break
                 res_history.append(norm)
                 if norm0 is None:
                     norm0 = norm if norm > 0 else 1.0
                 if self.verbose:
                     print(f"  Newton it {it}: |R| = {norm:.6e}")
-                if norm < self.atol or norm < self.rtol * norm0:
+                if norm < atol or norm < rtol * norm0:
                     self.converged = True
                     self.iterations = it
                     break
@@ -270,6 +288,19 @@ class NonlinearMaterialProblem:
                             break
                         alpha *= 0.5
                     if best_alpha is None or best_n >= norm:
+                        # stagnation at the dtype's residual-assembly noise
+                        # floor IS convergence: f32 sums of nearly-cancelling
+                        # element contributions bottom out around
+                        # sqrt(eps)·|R0| and no step can reduce them further
+                        if norm < np.sqrt(eps_dtype) * norm0:
+                            self.converged = True
+                            self.iterations = it
+                            if self.verbose:
+                                print(
+                                    "  converged at the dtype noise floor "
+                                    f"(|R|/|R0| = {norm / norm0:.2e})"
+                                )
+                            break
                         # total line-search failure: do not walk into garbage
                         if self.verbose:
                             print("  line search stagnated; aborting Newton")

@@ -92,3 +92,53 @@ def test_state_manager_views_and_dict_roundtrip():
     np.testing.assert_allclose(
         np.asarray(mat.data_manager.s0["p"]).ravel(), 0.01
     )
+
+
+def test_update_material_property_invalidates_fast_path():
+    """Regression (ADVICE r1): behaviors caching a whole-batch fast kernel
+    (vonMisesIsotropicHardening._fast) must not keep serving pre-update
+    parameters after update_material_property."""
+    from dolfinx_materials_tpu.models import (
+        LinearHardening,
+        vonMisesIsotropicHardening,
+    )
+
+    mat = Material(
+        vonMisesIsotropicHardening(
+            LinearElasticIsotropic(70e3, 0.3), LinearHardening(350.0, 100.0)
+        )
+    )
+    mat.set_data_manager(2)
+    eps = jnp.zeros((2, 6)).at[:, 0].set(3 * 350.0 / 70e3)  # well plastic
+    s_old, _, _ = mat.integrate(eps)
+    assert mat._fast_update is not None  # the cached fast path is in play
+
+    mat.update_material_property("yield_stress", LinearHardening(700.0, 100.0))
+    mat.data_manager.s0["eps_p"] = np.zeros((2, 6))
+    mat.data_manager.s0["p"] = np.zeros((2, 1))
+    s_new, _, _ = mat.integrate(eps)
+    assert not np.allclose(np.asarray(s_new), np.asarray(s_old))
+    # doubled yield stress with same (still-plastic) strain -> higher stress
+    assert float(s_new[0, 0]) > float(s_old[0, 0]) * 1.2
+
+
+def test_axisymmetric_strain_mandel_layout():
+    """Regression (ADVICE r1): the r-z shear belongs in the Mandel 13-slot
+    (index 4), coupling e_rr with e_zz in sym_to_mat — not the 12-slot."""
+    from dolfinx_materials_tpu.fem.forms import Ctx, axisymmetric_strain
+
+    expr = axisymmetric_strain()
+    # u = (u_r, u_z) with grad = [[du_r/dr, du_r/dz], [du_z/dr, du_z/dz]]
+    g = jnp.array([[1e-3, 4e-3], [2e-3, 3e-3]])
+    ctx = Ctx(u=jnp.array([5e-3, 0.0]), grad=g, x=jnp.array([2.0, 0.0]))
+    eps = np.asarray(expr(ctx))
+    np.testing.assert_allclose(eps[0], 1e-3)  # e_rr
+    np.testing.assert_allclose(eps[1], 5e-3 / 2.0)  # e_tt = u_r / r
+    np.testing.assert_allclose(eps[2], 3e-3)  # e_zz
+    np.testing.assert_allclose(eps[3], 0.0)  # no r-theta shear
+    np.testing.assert_allclose(eps[4], np.sqrt(2) * 3e-3)  # s2 * e_rz
+    np.testing.assert_allclose(eps[5], 0.0)
+    # sym_to_mat must place the shear coupling (r, z) = entries (0, 2)/(2, 0)
+    M = np.asarray(tn.sym_to_mat(jnp.asarray(eps)))
+    np.testing.assert_allclose(M[0, 2], 3e-3)
+    np.testing.assert_allclose(M[0, 1], 0.0)
