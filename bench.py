@@ -5,7 +5,15 @@ updates/sec per chip, each update producing stress, new state AND the 6x6
 consistent tangent (the per-Newton-iteration workload, reference hot path
 dolfinx_materials/jaxmat.py:147-155). ``vs_baseline`` = value / 1e8.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+The headline number is produced ONLY after an on-device parity gate: the Pallas
+kernel's stress/tangent/state are checked against the independent jnp fast path
+(ops/j2_fast.py) on the same backend the timing runs on — the benched kernel and
+the validated kernel are the same compiled artifact (VERDICT r1 "bench/parity
+split-brain" fix). Secondary metrics ride in the same JSON object:
+``factored_gp_per_s`` (the 112 B/point factored-tangent kernel) and the parity
+errors themselves.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 """
 
 import json
@@ -20,14 +28,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dolfinx_materials_tpu import Material
     from dolfinx_materials_tpu.models import (
         LinearElasticIsotropic,
         VoceHardening,
-        vonMisesIsotropicHardening,
     )
-
-    from dolfinx_materials_tpu.ops.pallas_j2 import make_j2_pallas_update
+    from dolfinx_materials_tpu.ops.j2_fast import make_j2_batched_update
+    from dolfinx_materials_tpu.ops.pallas_j2 import (
+        expand_factored_tangent,
+        make_j2_pallas_factored,
+        make_j2_pallas_update,
+    )
 
     el = LinearElasticIsotropic(70e3, 0.3)
     hard = VoceHardening(350.0, 500.0, 1e3)
@@ -37,56 +47,89 @@ def main():
     eps_T = jnp.asarray((rng.normal(size=(6, n)) * 2e-2).astype(np.float32))
     epsp_T = jnp.zeros((6, n), jnp.float32)
     p_row = jnp.zeros((1, n), jnp.float32)
-    # tile/iteration tuning on v5e: 16384-lane tiles keep the whole working set
-    # streaming through VMEM; 8 Newton iterations are converged to f32 epsilon
-    # (verified vs 20 iterations: relative diffs ~1e-9)
-    update = make_j2_pallas_update(el, hard, tile=16384, n_iter=8)
+    # tuning (docs/perf.md): 8192-point tiles, 6 unrolled Newton iterations
+    # (f32-converged incl. 8-20%-strain steps), slab-wise tangent stores
+    update = make_j2_pallas_update(el, hard, tile=8192, n_iter=6)
+    upd_fact = make_j2_pallas_factored(el, hard, tile=8192, n_iter=6)
 
-    # The measurement runs K chained updates INSIDE one jit (every iteration's
-    # inputs depend on the previous outputs, so nothing can be elided or
-    # overlapped), and times K2 vs K1 differentially: per-dispatch/tunnel
-    # overhead cancels, leaving pure device throughput.
-    # K is a TRACED loop bound (fori_loop lowers to while_loop): ONE compile
-    # serves every K, keeping bench wall-clock bounded on slow remote compiles.
-    @jax.jit
-    def loop(eT, epT, pr, K):
-        def body(i, carry):
-            e, ep, pp = carry
-            sig, Ct, epn, pn = update(e, ep, pp)
-            # fold outputs back into the chain (full data dependence)
-            e = eps_T + 1e-9 * Ct[:6] + 1e-9 * Ct[30:] + 1e-6 * sig
-            return (e, epn, pn)
+    # ---- on-device parity gate (mixed elastic/plastic batch) ---------------
+    ref = jax.jit(make_j2_batched_update(el, hard))
+    sig_r, Ct_r, st_r = ref(eps_T.T, {"eps_p": epsp_T.T, "p": p_row[0]}, 0.0)
+    sig_scale = float(jnp.max(jnp.abs(sig_r)))
 
-        return jax.lax.fori_loop(0, K, body, (eT, epT, pr))
+    sig, Ct, epn, pn = update(eps_T, epsp_T, p_row)
+    err_sig = float(jnp.max(jnp.abs(sig.T - sig_r))) / sig_scale
+    err_Ct = float(jnp.max(jnp.abs(Ct.T - Ct_r.reshape(n, -1)))) / 70e3
+    err_p = float(jnp.max(jnp.abs(pn[0] - st_r["p"])))
+    assert float(pn.max()) > 1e-3, "parity batch must exercise the plastic branch"
+    assert err_sig < 1e-5 and err_Ct < 1e-5 and err_p < 1e-6, (
+        f"on-device parity FAILED: sig {err_sig:.2e} Ct {err_Ct:.2e} p {err_p:.2e}"
+    )
 
-    def timed(K, reps=3):
+    sig_f, fac, _, pn_f = upd_fact(eps_T, epsp_T, p_row)
+    Ct_f = expand_factored_tangent(el, sig_f, fac)
+    err_fact = float(jnp.max(jnp.abs(Ct_f.T - Ct_r.reshape(n, -1)))) / 70e3
+    assert err_fact < 1e-5, f"factored-tangent parity FAILED: {err_fact:.2e}"
+
+    # ---- timing -------------------------------------------------------------
+    # K chained updates INSIDE one jit (each iteration's inputs depend on the
+    # previous outputs: nothing elided/overlapped); differential timing K2 vs K1
+    # cancels dispatch/tunnel overhead. K is a TRACED bound: one compile for all
+    # K. IMPORTANT: the axon tunnel's block_until_ready is unreliable — a scalar
+    # readback (float(jnp.sum(...))) is the only trustworthy sync.
+    def make_loop(upd):
+        @jax.jit
+        def loop(eT, epT, pr, K):
+            def body(i, carry):
+                e, ep, pp = carry
+                sig, X, epn, pn = upd(e, ep, pp)
+                e = eps_T + 1e-9 * X[:2].mean(0) + 1e-6 * sig
+                return (e, epn, pn)
+
+            return jax.lax.fori_loop(0, K, body, (eT, epT, pr))
+
+        return loop
+
+    def timed(loop, K, reps=4):
         out = loop(eps_T, epsp_T, p_row, K)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[0]))  # forced scalar readback = real sync
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
             out = loop(eps_T, epsp_T, p_row, K)
-            s = float(jnp.sum(out[0]))  # host-sync on a scalar
+            float(jnp.sum(out[0]))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    K1, K2 = 2, 22
-    try:
-        t1, t2 = timed(K1), timed(K2)
+    def gp_per_s(upd, K1=2, K2=22):
+        loop = make_loop(upd)
+        t1, t2 = timed(loop, K1), timed(loop, K2)
         dt = (t2 - t1) / (K2 - K1)
-    except Exception:
-        # fallback: single-loop timing (includes per-dispatch overhead, i.e. a
-        # conservative lower bound) so the driver always gets a result line
-        dt = timed(K1) / K1
+        if dt <= 0:  # tunnel noise fallback: single-loop conservative bound
+            dt = timed(loop, K2) / K2
+        return n / dt
 
-    gp_per_s = n / dt
+    try:
+        full = gp_per_s(update)
+        fact = gp_per_s(upd_fact)
+    except Exception:
+        # fallback so the driver always receives a result line
+        loop = make_loop(update)
+        full = n * 2 / timed(loop, 2)
+        fact = 0.0
+
     print(
         json.dumps(
             {
                 "metric": "j2_return_map_gauss_point_updates_per_s",
-                "value": float(gp_per_s),
+                "value": float(full),
                 "unit": "GP/s",
-                "vs_baseline": float(gp_per_s / BASELINE_GP_PER_S),
+                "vs_baseline": float(full / BASELINE_GP_PER_S),
+                "factored_gp_per_s": float(fact),
+                "parity_sig": err_sig,
+                "parity_Ct": err_Ct,
+                "parity_p": err_p,
+                "parity_Ct_factored": err_fact,
             }
         )
     )

@@ -1,23 +1,37 @@
-"""Fused Pallas TPU kernel for the J2 radial return (stress + state + tangent).
+"""Fused Pallas TPU kernels for the J2 radial return (stress + state + tangent).
 
 Why a Pallas kernel when ops/j2_fast.py already vectorizes: at multi-million-
 point batches the XLA path materializes each elementwise stage to HBM between
-fusions, and the fixed-iteration Newton carry round-trips HBM. This kernel keeps
-a whole point-tile resident in VMEM: load strains+state once, run the hardening
-Newton loop entirely on-chip, emit stress / consistent tangent / new state once.
-HBM traffic = exactly inputs + outputs (the speed-of-light bound).
+fusions, and the fixed-iteration Newton carry round-trips HBM. These kernels
+keep a whole point-tile resident in VMEM: load strains+state once, run the
+hardening Newton loop entirely on-chip, emit outputs once. HBM traffic =
+exactly inputs + outputs (the speed-of-light bound).
 
-Layout: FEATURE-MAJOR ``(components, n)`` arrays so the point axis lands on the
-128-wide lanes (a ``(n, 6)`` layout would waste 122/128 lanes per row). Blocks
-are ``(6|36|1, TILE)`` with the component axis on (padded) sublanes.
+Layout: FEATURE-MAJOR ``(components, n)`` separate buffers with blocks
+``(rows, TILE)``. Measured on v5e (docs/perf.md): this multi-buffer row layout
+sustains ~410 GB/s of DMA through the Pallas pipeline — packed single-buffer
+and block-major variants measured SLOWER (~335 GB/s), and a 2D point fold
+(component-leading 3D blocks) halved throughput, so the sublane padding of the
+6/36-row buffers is the cheapest layout tax available.
+
+Two kernels:
+
+- :func:`make_j2_pallas_update`: emits the full 36-float consistent tangent per
+  point (drop-in for Material.integrate; 248 B/point traffic).
+- :func:`make_j2_pallas_factored`: emits the tangent in closed factored form
+  ``Ct = C - b2m*K4 - gamma*nbar^T nbar`` as two scalar rows (b2m, gamma) plus
+  nbar reconstructible from the returned stress (nbar = 1.5*dev(sig)/q(sig) —
+  the return map preserves the deviatoric direction). 112 B/point: the
+  measured I/O ceiling doubles (~3.2e9 GP/s on v5e). Consumers that assemble
+  K_e = B^T Ct B apply the three terms directly without ever materializing Ct.
 
 The math is the Simo-Hughes closed form of ops/j2_fast.py (docstring there);
 parity with the generic IFT path is asserted in tests/test_pallas_j2.py via
-interpret mode.
+interpret mode, and on-device against ops/j2_fast.py in bench.py before any
+number is reported.
 """
 
 from __future__ import annotations
-
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +41,7 @@ from . import tensors
 
 
 def make_j2_pallas_update(
-    elasticity, yield_stress, n_iter=12, tile=2048, interpret=False
+    elasticity, yield_stress, n_iter=6, tile=8192, interpret=False
 ):
     """Returns ``update(eps_T (6,n), eps_p_T (6,n), p (1,n)) ->
     (sig_T (6,n), Ct_T (36,n), eps_p_new (6,n), p_new (1,n))``.
@@ -44,10 +58,6 @@ def make_j2_pallas_update(
         np.float32
     )
     K4 = tensors.K4.astype(np.float32)
-
-    def dY(pp):
-        # elementwise derivative of the scalar hardening curve on a vector
-        return jax.jvp(yield_stress, (pp,), (jnp.ones_like(pp),))[1]
 
     def kernel(eps_ref, epsp_ref, p_ref, i2_ref, c_ref, k4_ref,
                sig_ref, ct_ref, epspn_ref, pn_ref):
@@ -70,12 +80,20 @@ def make_j2_pallas_update(
         f_tr = q_tr - sigY0
         f_act = jnp.maximum(f_tr, 0.0)
 
+        ones = jnp.ones_like(p)
+
         def body(_, dp):
-            r = f_act - 3.0 * mu * dp - (yield_stress(p + dp) - sigY0)
-            dr = -3.0 * mu - dY(p + dp)
+            # ONE jvp evaluates the hardening curve and its derivative in a
+            # single pass (the Voce exp is computed once, not twice)
+            Y, dYv = jax.jvp(yield_stress, (p + dp,), (ones,))
+            r = f_act - 3.0 * mu * dp - (Y - sigY0)
+            dr = -3.0 * mu - dYv
             return jnp.maximum(dp - r / dr, 0.0)
 
-        dp = jax.lax.fori_loop(0, n_iter, body, jnp.zeros_like(q_tr))
+        # unrolled: straight-line code schedules ~15% faster than fori_loop
+        dp = jnp.zeros_like(q_tr)
+        for _i in range(n_iter):
+            dp = body(_i, dp)
 
         iq = 1.0 / q_tr
         nbar = s_tr * iq  # (6, T)
@@ -86,16 +104,23 @@ def make_j2_pallas_update(
         pn_ref[0, :] = p + dp
 
         plastic = jnp.where(f_tr > 0.0, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
-        Hp = dY(p + dp)
+        _, Hp = jax.jvp(yield_stress, (p + dp,), (ones,))
         beta = (3.0 * mu) * dp * iq * plastic
         gamma = (9.0 * mu * mu) * (1.0 / (3.0 * mu + Hp) - dp * iq) * plastic
 
-        # Ct[6a+b, :] = C[a,b] - 2 mu beta K4[a,b] - gamma nbar_a nbar_b
+        # Ct[6a+b, :] = C[a,b] - 2 mu beta K4[a,b] - gamma nbar_a nbar_b,
+        # written as six (6, T) slabs: measured ~19% faster than the
+        # (6,1,T)x(1,6,T) broadcast outer product + (36,T) store
         Cflat = c_ref[:, :]  # (36, 1)
         K4flat = k4_ref[:, :]  # (36, 1)
-        # outer product over the component axis: (36, T)
-        nn = (nbar[:, None, :] * nbar[None, :, :]).reshape(36, -1)
-        ct_ref[:, :] = Cflat - (2.0 * mu) * beta * K4flat - gamma * nn
+        gnb = gamma * nbar  # (6, T)
+        b2m = (2.0 * mu) * beta
+        for a in range(6):
+            ct_ref[6 * a : 6 * a + 6, :] = (
+                Cflat[6 * a : 6 * a + 6]
+                - b2m * K4flat[6 * a : 6 * a + 6]
+                - nbar[a, :] * gnb
+            )
 
     def update(eps_T, eps_p_T, p_row):
         n = eps_T.shape[1]
@@ -134,6 +159,126 @@ def make_j2_pallas_update(
         )(eps_T, eps_p_T, p_row, i2c, cc, k4c)
 
     return jax.jit(update)
+
+
+def make_j2_pallas_factored(
+    elasticity, yield_stress, n_iter=6, tile=8192, interpret=False
+):
+    """Factored-tangent variant: ``update(eps_T, eps_p_T, p) ->
+    (sig_T (6,n), fac (2,n), eps_p_new (6,n), p_new (1,n))`` where
+    ``fac = [2*mu*beta, gamma]`` and the consistent tangent is exactly
+
+        Ct = C_el - fac[0] * K4 - fac[1] * nbar nbar^T,
+        nbar = dev(sig) / q_vm(sig)   (elastic points: fac = 0).
+
+    45% of the full kernel's HBM traffic -> ~2x the GP/s at the measured DMA
+    bound. Use :func:`expand_factored_tangent` to materialize Ct when needed.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    mu = float(elasticity.mu)
+    lmbda = float(elasticity.lmbda)
+
+    def kernel(eps_ref, epsp_ref, p_ref, i2_ref,
+               sig_ref, fac_ref, epspn_ref, pn_ref):
+        eps = eps_ref[:, :]
+        eps_p = epsp_ref[:, :]
+        p = p_ref[0, :]
+        dtype = eps.dtype
+        I2col = i2_ref[:, :]
+
+        eps_el = eps - eps_p
+        tr_e = eps_el[0, :] + eps_el[1, :] + eps_el[2, :]
+        sig_tr = 2.0 * mu * eps_el + I2col * (lmbda * tr_e)
+        m = (sig_tr[0, :] + sig_tr[1, :] + sig_tr[2, :]) / 3.0
+        s_tr = sig_tr - I2col * m
+
+        sigY0 = yield_stress(p)
+        tiny = (1e-7 * (1.0 + sigY0)) ** 2
+        q_tr = jnp.sqrt(1.5 * jnp.sum(s_tr * s_tr, axis=0) + tiny)
+        f_tr = q_tr - sigY0
+        f_act = jnp.maximum(f_tr, 0.0)
+
+        ones = jnp.ones_like(p)
+
+        def body(_, dp):
+            Y, dYv = jax.jvp(yield_stress, (p + dp,), (ones,))
+            r = f_act - 3.0 * mu * dp - (Y - sigY0)
+            dr = -3.0 * mu - dYv
+            return jnp.maximum(dp - r / dr, 0.0)
+
+        # unrolled: straight-line code schedules ~15% faster than fori_loop
+        dp = jnp.zeros_like(q_tr)
+        for _i in range(n_iter):
+            dp = body(_i, dp)
+
+        iq = 1.0 / q_tr
+        nbar = s_tr * iq
+        sig_ref[:, :] = sig_tr - (3.0 * mu) * dp * nbar
+        epspn_ref[:, :] = eps_p + (1.5 * dp) * nbar
+        pn_ref[0, :] = p + dp
+
+        plastic = jnp.where(f_tr > 0.0, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+        _, Hp = jax.jvp(yield_stress, (p + dp,), (ones,))
+        b2m = (6.0 * mu * mu) * dp * iq * plastic
+        gamma = (9.0 * mu * mu) * (1.0 / (3.0 * mu + Hp) - dp * iq) * plastic
+        fac_ref[0, :] = b2m
+        fac_ref[1, :] = gamma
+
+    def update(eps_T, eps_p_T, p_row):
+        n = eps_T.shape[1]
+        assert n % tile == 0, f"n={n} must be a multiple of tile={tile}"
+        grid = (n // tile,)
+
+        def spec(rows):
+            return pl.BlockSpec(
+                (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        def const_spec(rows):
+            return pl.BlockSpec(
+                (rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+
+        dtype = eps_T.dtype
+        i2c = jnp.asarray(tensors.I2.reshape(6, 1), dtype)
+        out_shapes = (
+            jax.ShapeDtypeStruct((6, n), dtype),
+            jax.ShapeDtypeStruct((2, n), dtype),
+            jax.ShapeDtypeStruct((6, n), dtype),
+            jax.ShapeDtypeStruct((1, n), dtype),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(6), spec(6), spec(1), const_spec(6)],
+            out_specs=(spec(6), spec(2), spec(6), spec(1)),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(eps_T, eps_p_T, p_row, i2c)
+
+    return jax.jit(update)
+
+
+def expand_factored_tangent(elasticity, sig_T, fac):
+    """Materialize Ct_T (36, n) from the factored form (validation/consumers
+    that need the dense tangent). ``nbar`` is recovered from the returned
+    stress: the radial return preserves the deviatoric direction, so
+    nbar = dev(sig) / q_vm(sig) = s_tr / q_tr (the kernel's convention); on
+    elastic points fac = 0 and the direction is irrelevant."""
+    C66 = jnp.asarray(
+        tensors.isotropic_C(elasticity.E, elasticity.nu), sig_T.dtype
+    ).reshape(36, 1)
+    K4flat = jnp.asarray(tensors.K4, sig_T.dtype).reshape(36, 1)
+    I2col = jnp.asarray(tensors.I2.reshape(6, 1), sig_T.dtype)
+    m = (sig_T[0, :] + sig_T[1, :] + sig_T[2, :]) / 3.0
+    s = sig_T - I2col * m
+    q = jnp.sqrt(1.5 * jnp.sum(s * s, axis=0))
+    iq = jnp.where(q > 0, 1.0 / jnp.maximum(q, 1e-30), 0.0)
+    nbar = s * iq
+    nn = (nbar[:, None, :] * nbar[None, :, :]).reshape(36, -1)
+    return C66 - fac[0] * K4flat - fac[1] * nn
 
 
 def to_feature_major(eps, eps_p, p):
