@@ -123,6 +123,25 @@ class QuadratureMap:
         self._Ct = Ct
         return flux, Ct
 
+    def update_flux_only(self, u):
+        """Tangent-free constitutive update (line-search residual trials):
+        gradients at Gauss points -> flux + new state, NO jacfwd pass. The
+        cached tangent (``self._Ct``) is left untouched; a full :meth:`update`
+        follows at the accepted iterate before the next Jacobian assembly."""
+        u = jnp.asarray(u)
+        with timer("qmap: external state variable update"):
+            for name in self.esv_exprs:
+                self.material.update_external_state_variable(
+                    name, self._eval_fns[name](u)
+                )
+        with timer("qmap: gradients evaluation"):
+            grads = [self._eval_fns[g](u) for g in self.material.gradients]
+            grad_vals = jnp.concatenate(grads, axis=1) if len(grads) > 1 else grads[0]
+        with timer("qmap: material integration (flux-only)"):
+            flux, _ = self.material.integrate_flux_only(grad_vals, self.dt)
+        self._flux = flux
+        return flux
+
     def advance(self):
         """Commit converged state and expose final fields (reference :350-360)."""
         self.material.data_manager.update()

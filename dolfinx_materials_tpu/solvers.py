@@ -117,6 +117,10 @@ class NonlinearMaterialProblem:
         for qmap in self.qmaps:
             qmap.update(u_arr)
 
+    def _constitutive_update_flux_only(self, u_arr):
+        for qmap in self.qmaps:
+            qmap.update_flux_only(u_arr)
+
     @staticmethod
     def _scale_value(s):
         return float(s()) if callable(s) else float(s)
@@ -273,7 +277,9 @@ class NonlinearMaterialProblem:
                     for _ in range(self.max_backtracks):
                         u_try = u_arr + alpha * du
                         try:
-                            self._constitutive_update(u_try)
+                            # flux-only: trials need the residual norm, not
+                            # tangents (VERDICT r1 item 8)
+                            self._constitutive_update_flux_only(u_try)
                             R_try = self._residual(u_try)
                             n_try = float(
                                 jnp.linalg.norm(

@@ -142,3 +142,29 @@ def test_axisymmetric_strain_mandel_layout():
     M = np.asarray(tn.sym_to_mat(jnp.asarray(eps)))
     np.testing.assert_allclose(M[0, 2], 3e-3)
     np.testing.assert_allclose(M[0, 1], 0.0)
+
+
+def test_integrate_flux_only_matches_full():
+    """Tangent-free path must return the same flux/state as the full path
+    (it feeds line-search residual trials)."""
+    from dolfinx_materials_tpu.models import VoceHardening, vonMisesIsotropicHardening
+    from dolfinx_materials_tpu.models.viscoplasticity import NortonViscoplasticity
+
+    # generic (non-fast-path) behavior with an ISV so new_state is exercised
+    beh = NortonViscoplasticity(
+        LinearElasticIsotropic(70e3, 0.3), lambda p: 100.0 + 0 * p, K=150.0, n=3.0
+    )
+    mat = Material(beh)
+    mat.set_data_manager(8)
+    rng = np.random.default_rng(3)
+    eps = jnp.asarray(rng.normal(size=(8, 6)) * 5e-3)
+    f1, isv1 = mat.integrate_flux_only(eps, dt=0.1)
+    mat2 = Material(
+        NortonViscoplasticity(
+            LinearElasticIsotropic(70e3, 0.3), lambda p: 100.0 + 0 * p, K=150.0, n=3.0
+        )
+    )
+    mat2.set_data_manager(8)
+    f2, isv2, Ct = mat2.integrate(eps, dt=0.1)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(isv1), np.asarray(isv2), rtol=1e-12)
