@@ -48,6 +48,7 @@ from .material import Material  # noqa: E402,F401
 from .state import DataManager, MaterialStateManager  # noqa: E402,F401
 from .quadrature_map import QuadratureMap  # noqa: E402,F401
 from .solvers import (  # noqa: E402,F401
+    BlockedNonlinearProblem,
     NonlinearMaterialProblem,
     solve_adaptive,
     solve_coupled,

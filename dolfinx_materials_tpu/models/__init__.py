@@ -36,6 +36,7 @@ from .thermal import (  # noqa: F401
     NonlinearHeatTransfer,
     PhaseChangeHeatTransfer,
     ThermoElasticIsotropic,
+    ThermoMechanicalHeat,
 )
 from .nonlinear_elasticity import RambergOsgoodNonLinearElasticity  # noqa: F401
 from .nn import NeuralBehavior  # noqa: F401

@@ -132,3 +132,34 @@ class PhaseChangeHeatTransfer(Behavior):
         g = inputs["TemperatureGradient"]
         k, h = self._k_h(T)
         return {"HeatFlux": -k * g}, {"Enthalpy": jnp.reshape(h, (1,))}
+
+
+class ThermoMechanicalHeat(Behavior):
+    """Conduction + a mechanically-coupled heat source: the two-way partner of
+    :class:`ThermoElasticIsotropic` for MONOLITHIC thermo-mechanics.
+
+        j = -k grad(T),   Source = kappa (T - T0) + chi eps_v
+
+    where ``eps_v`` (volumetric strain, an external state variable fed from the
+    mechanical field) injects heat where the structure dilates — the
+    Gough-Joule-type coupling. With large ``chi * alpha_th`` the block
+    Gauss-Seidel iteration (solve_coupled) limit-cycles while the monolithic
+    blocked Newton converges at full rate (tests/test_blocked.py).
+    """
+
+    def __init__(self, k=1.0, kappa=0.0, chi=0.0, T0=293.15, dim=2):
+        self.k, self.kappa, self.chi, self.T0, self.dim = k, kappa, chi, T0, dim
+        self.gradients = {"TemperatureGradient": dim}
+        self.fluxes = {"HeatFlux": dim, "Source": 1}
+        self.external_state_variables = {"Temperature": 1, "VolStrain": 1}
+        self.extra_tangent_blocks = [
+            ("Source", "Temperature"),
+            ("Source", "VolStrain"),
+        ]
+
+    def constitutive_update(self, inputs, state, dt):
+        T = inputs["Temperature"][0]
+        ev = inputs["VolStrain"][0]
+        g = inputs["TemperatureGradient"]
+        src = self.kappa * (T - self.T0) + self.chi * ev
+        return {"HeatFlux": -self.k * g, "Source": jnp.reshape(src, (1,))}, state
