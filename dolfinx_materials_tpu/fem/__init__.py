@@ -23,3 +23,10 @@ from .facets import (  # noqa: F401
 )
 from .gmsh_io import read_msh  # noqa: F401
 from .io import write_vtk  # noqa: F401
+from .submesh import (  # noqa: F401
+    InterfaceDomain,
+    InterfaceTerm,
+    elastic_interface,
+    extract_submesh,
+    interface_facets,
+)

@@ -431,10 +431,12 @@ class BlockedNonlinearProblem:
     here at full Newton rate (VERDICT r1 missing item 2).
     """
 
-    def __init__(self, problems, couplings=(), options=None):
+    def __init__(self, problems, couplings=(), interfaces=(), options=None):
         from .fem.assembly import QuadratureDomain
 
         self.problems = list(problems)
+        #: interface-law terms (fem.submesh.InterfaceTerm) joining two fields
+        self.interfaces = list(interfaces)
         o = dict(options or {})
         self.rtol = o.pop("rtol", None)
         self.atol = o.pop("atol", None)
@@ -505,9 +507,14 @@ class BlockedNonlinearProblem:
                 p._constitutive_update(u_i)
 
     def _residual(self, parts):
-        return jnp.concatenate(
-            [p._residual(u_i) for p, u_i in zip(self.problems, parts)]
-        )
+        rs = [p._residual(u_i) for p, u_i in zip(self.problems, parts)]
+        for itf in self.interfaces:
+            r_i, r_j = itf.residuals(
+                parts[itf.i], parts[itf.j], self.sizes[itf.i], self.sizes[itf.j]
+            )
+            rs[itf.i] = rs[itf.i] + r_i
+            rs[itf.j] = rs[itf.j] + r_j
+        return jnp.concatenate(rs)
 
     def _masks(self):
         masks, vals = [], []
@@ -545,6 +552,8 @@ class BlockedNonlinearProblem:
                 "eqai,eqab,eqbj,eq->eij", By, C, Bx, dom.wdetJ
             )
             out.append(K)
+        for itf in self.interfaces:
+            out.append(itf.matrices(parts[itf.i], parts[itf.j]))
         return out
 
     def _apply_blocked(self, diag_Kels, coup_Ks, v, mask):
@@ -566,6 +575,18 @@ class BlockedNonlinearProblem:
                 ys[c["row"]]
                 .at[row_dom.dofmap.ravel()]
                 .add(y_e.ravel())
+            )
+        for itf, Ks in zip(self.interfaces, coup_Ks[len(self._couplings):]):
+            K_ii, K_ij, K_ji, K_jj = Ks
+            d_i, d_j = itf.scatter_dofs()
+            vi, vj = parts_v[itf.i][d_i], parts_v[itf.j][d_j]
+            ys[itf.i] = ys[itf.i].at[d_i.ravel()].add(
+                (jnp.einsum("fab,fb->fa", K_ii, vi)
+                 + jnp.einsum("fab,fb->fa", K_ij, vj)).ravel()
+            )
+            ys[itf.j] = ys[itf.j].at[d_j.ravel()].add(
+                (jnp.einsum("fab,fb->fa", K_ji, vi)
+                 + jnp.einsum("fab,fb->fa", K_jj, vj)).ravel()
             )
         y = jnp.concatenate(ys)
         return jnp.where(mask, v, y)
@@ -604,6 +625,22 @@ class BlockedNonlinearProblem:
                     (np.asarray(K).ravel(), (rows, cols)),
                     shape=(self.ndofs, self.ndofs),
                 ).tocsr()
+            for itf, Ks in zip(
+                self.interfaces, coup_Ks[len(self._couplings):]
+            ):
+                d_i, d_j = itf.scatter_dofs()
+                d_i = np.asarray(d_i) + int(self.offsets[itf.i])
+                d_j = np.asarray(d_j) + int(self.offsets[itf.j])
+                for K, rdofs, cdofs in zip(
+                    Ks, (d_i, d_i, d_j, d_j), (d_i, d_j, d_i, d_j)
+                ):
+                    k = rdofs.shape[1]
+                    rows = np.repeat(rdofs, k, axis=1).ravel()
+                    cols = np.tile(cdofs, (1, k)).ravel()
+                    A = A + sp.coo_matrix(
+                        (np.asarray(K).ravel(), (rows, cols)),
+                        shape=(self.ndofs, self.ndofs),
+                    ).tocsr()
             A = A.tolil()
             bc_idx = np.nonzero(np.asarray(mask))[0]
             A[bc_idx, :] = 0.0
@@ -622,6 +659,15 @@ class BlockedNonlinearProblem:
                     K_e, self.sizes[i]
                 )
             diag = diag.at[self.offsets[i] : self.offsets[i + 1]].set(d_i)
+        for itf, Ks in zip(self.interfaces, coup_Ks[len(self._couplings):]):
+            K_ii, _, _, K_jj = Ks
+            d_i, d_j = itf.scatter_dofs()
+            diag = diag.at[self.offsets[itf.i] + d_i.ravel()].add(
+                jnp.diagonal(K_ii, axis1=1, axis2=2).ravel()
+            )
+            diag = diag.at[self.offsets[itf.j] + d_j.ravel()].add(
+                jnp.diagonal(K_jj, axis1=1, axis2=2).ravel()
+            )
         diag = jnp.where(mask | (jnp.abs(diag) < 1e-30), 1.0, diag)
         M = lambda v: v / diag
         b = jnp.where(mask, 0.0, rhs)
