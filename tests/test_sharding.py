@@ -44,8 +44,6 @@ def make_material(hardening=None):
 
 
 def make_mild_material():
-    # fixed-iteration fused Newton (no line search) needs a mildly nonlinear
-    # hardening curve; the host solver covers the sharp-Voce case via backtracking
     return make_material(LinearHardening(sig0, 1000.0))
 
 
@@ -82,8 +80,9 @@ def test_sharded_newton_step_matches_host_solver():
         bcs = [DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), DirichletBC(right, exx)]
         return qmap, bcs
 
-    # host reference solve
-    mat1 = make_mild_material()
+    # host reference solve — the SHARP Voce flagship material (the fused step
+    # now early-exits + backtracks, VERDICT r1 item 6)
+    mat1 = make_material()
     qmap1, bcs = build(mat1)
     u1 = Function(V)
     prob = NonlinearMaterialProblem(qmap1, u1, bcs=bcs, options={"ksp_type": "lu"})
@@ -91,11 +90,11 @@ def test_sharded_newton_step_matches_host_solver():
     assert converged
 
     # sharded fused step
-    mat2 = make_mild_material()
+    mat2 = make_material()
     qmap2, bcs = build(mat2)
     prob2 = NonlinearMaterialProblem(qmap2, Function(V), bcs=bcs)
     step, pad_state = make_sharded_newton_step(
-        qmap2, prob2, cmesh, n_newton=8, n_cg=200
+        qmap2, prob2, cmesh, n_newton=12, n_cg=200
     )
     mask, vals = combine_bcs(bcs, V.num_dofs)
     u_sh, new_state, res_norm = step(
@@ -109,3 +108,69 @@ def test_sharded_newton_step_matches_host_solver():
     p_ref = np.asarray(mat1.data_manager.s0["p"]).ravel()
     np.testing.assert_allclose(p_sh, p_ref, rtol=1e-6, atol=1e-12)
     assert p_ref.max() > 1e-4
+
+
+def test_sharded_newton_step_dof_sharded_large():
+    """Dof-sharded variant (VERDICT r1 item 9): u/R/CG vectors sharded over the
+    mesh axis (all_gather + psum_scatter), demonstrated at > 1e6 dofs, matching
+    the replicated-dof step on a small mesh first."""
+    cmesh = device_mesh(8)
+
+    # correctness: replicated vs dof-sharded must agree exactly
+    mesh = create_unit_square(5, 5, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 3 * sig0 / E
+
+    def build(mat):
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("Strain", mandel_strain_2d())
+        left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+        bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+        right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+        bcs = [DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), DirichletBC(right, exx)]
+        return qmap, bcs
+
+    results = []
+    for shard_dofs in (False, True):
+        mat = make_material()
+        qmap, bcs = build(mat)
+        prob = NonlinearMaterialProblem(qmap, Function(V), bcs=bcs)
+        step, _ = make_sharded_newton_step(
+            qmap, prob, cmesh, n_newton=12, n_cg=200, shard_dofs=shard_dofs
+        )
+        mask, vals = combine_bcs(bcs, V.num_dofs)
+        u, st, rn = step(
+            jnp.zeros(V.num_dofs), mat.data_manager.s0.internal, mask, vals, 0.0
+        )
+        results.append((np.asarray(u), np.asarray(st["p"]), float(rn)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-8, atol=1e-14)
+
+    # scale: > 1e6 dofs, one fused dof-sharded step runs and converges sanely
+    big = create_unit_square(710, 710, "quad")  # 711^2 * 2 = 1,011,042 dofs
+    Vb = FunctionSpace(big, 1, (2,))
+    assert Vb.num_dofs > 1_000_000
+    mat = make_material()
+    qmap = QuadratureMap(Vb, 2, mat)
+    qmap.register_gradient("Strain", mandel_strain_2d())
+    left = locate_dofs_geometrical(Vb, lambda x: np.isclose(x[:, 0], 0), 0)
+    bottom = locate_dofs_geometrical(Vb, lambda x: np.isclose(x[:, 1], 0), 1)
+    right = locate_dofs_geometrical(Vb, lambda x: np.isclose(x[:, 0], 1), 0)
+    bcs = [
+        DirichletBC(left, 0.0),
+        DirichletBC(bottom, 0.0),
+        DirichletBC(right, 0.5 * sig0 / E),  # elastic: 2-3 Newton its
+    ]
+    prob = NonlinearMaterialProblem(qmap, Function(Vb), bcs=bcs)
+    step, _ = make_sharded_newton_step(
+        qmap, prob, cmesh, n_newton=3, n_cg=40, shard_dofs=True
+    )
+    mask, vals = combine_bcs(bcs, Vb.num_dofs)
+    u, st, rn = step(
+        jnp.zeros(Vb.num_dofs), mat.data_manager.s0.internal, mask, vals, 0.0
+    )
+    u = np.asarray(u)
+    assert np.isfinite(u).all()
+    assert u.shape == (Vb.num_dofs,)
+    assert np.abs(u).max() > 1e-5  # the load actually deformed the plate
+    assert st["p"].shape[0] == qmap.num_points  # trimmed state
