@@ -164,6 +164,7 @@ class Material:
         # single-gradient/no-ESV/no-props signature.
         fast = getattr(behavior, "batched_update", None)
         self._fast_update = None
+        self._fast_flux = None
         if (
             fast is not None
             and not self.external_state_variables
@@ -171,6 +172,12 @@ class Material:
             and len(self.tangent_blocks) == 1
         ):
             self._fast_update = jax.jit(fast)
+            # optional tangent-free whole-batch companion (e.g. FeFp, whose
+            # 9-column tangent is ~10x the flux cost — unlike j2_fast where
+            # the analytic tangent is near-free)
+            fast_flux = getattr(behavior, "batched_flux", None)
+            if fast_flux is not None:
+                self._fast_flux = jax.jit(fast_flux)
 
     # ------------------------------------------------------------- lifecycle
     def set_data_manager(self, ngauss: int):
@@ -299,7 +306,9 @@ class Material:
             x = self._rotate_cols(x, self._in_slices, self._input_sizes, rot, False)
 
         with timer(f"{self.name}: constitutive update (flux-only)"):
-            if self._fast_update is not None:
+            if self._fast_flux is not None:
+                flux, new_state = self._fast_flux(x, dm.s0.internal, dt)
+            elif self._fast_update is not None:
                 # the analytic fast path's tangent is near-free; reuse it
                 flux, _, new_state = self._fast_update(x, dm.s0.internal, dt)
             else:

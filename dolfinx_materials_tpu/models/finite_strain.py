@@ -38,11 +38,27 @@ class FeFpJ2Plasticity(FiniteStrainBehavior):
     be_trial = f be_old f^T, f = F F_prev^{-1}.
     """
 
-    def __init__(self, elasticity, yield_stress, tol=1e-10, max_iter=50):
+    def __init__(self, elasticity, yield_stress, tol=1e-10, max_iter=50,
+                 fm_gregory_terms=5, fm_newton_iters=16, fm_stretch_guard=0.33,
+                 use_batched_fast=True):
         self.elasticity = elasticity
         self.yield_stress = yield_stress
         self.tol = tol
         self.max_iter = max_iter
+        # whole-batch fast-path tuning (see batched_update): Gregory log terms,
+        # unrolled radial-return Newton count, and the envelope guard on
+        # ||S||_F, S = (be_tr - I)(be_tr + I)^{-1} — points beyond it (elastic
+        # stretch ~> +-40%, unphysical for metal J2) are poisoned with NaN so
+        # the solver's line-search containment backtracks instead of silently
+        # integrating a truncated series. None disables the guard.
+        self.fm_gregory_terms = fm_gregory_terms
+        self.fm_newton_iters = fm_newton_iters
+        self.fm_stretch_guard = fm_stretch_guard
+        if not use_batched_fast:
+            # instance attrs shadow the methods; Material then uses the
+            # robust per-point vmapped path (ops.matfun logm/expm)
+            self.batched_update = None
+            self.batched_flux = None
 
     def init_state(self):
         return {
@@ -97,6 +113,113 @@ class FeFpJ2Plasticity(FiniteStrainBehavior):
             "F_prev": Fvec,
         }
         return tensors.mat_to_nonsym(P), new_state
+
+    # ------------------------------------------------- TPU whole-batch path
+    def _fm_core(self, Fv, state):
+        """Feature-major whole-batch update core: Fv (n,9) -> (PK1 (n,9),
+        eps_e (6,n), p_new (n,)) — everything EXCEPT the be = exp(2 eps_e)
+        commit, which PK1 (and hence the tangent) does not depend on.
+
+        Every intermediate lives as (3,3,n) / (6,n) / (n,) arrays so the point
+        axis sits on the 128-wide TPU lanes (the vmapped per-point path pads its
+        (n,3,3) temporaries ~42x on (8,128) tiles), and every op is an UNROLLED
+        elementwise chain XLA fuses end-to-end (no ``fori_loop`` carries
+        round-tripping HBM). The matrix log is the Gregory series
+        (matfun_fm.logm_gregory) — exact to ~1e-19 at metal-scale elastic
+        strains, guarded by ``fm_stretch_guard`` (NaN-poison beyond the series
+        envelope; the solver line search backtracks on NaN residuals), and
+        AD-smooth at F = I where spectral (Cardano) formulas lose precision.
+        """
+        from ..ops import matfun_fm as fm
+
+        el = self.elasticity
+        mu = el.mu
+        lmbda = el.lmbda
+        dtype = Fv.dtype
+
+        F = fm.from_nonsym_rows(Fv)
+        F_prev = fm.from_nonsym_rows(state["F_prev"].astype(dtype))
+        be_old = fm.from_sym_cols(state["be"].astype(dtype).T)
+        p = state["p"].astype(dtype)
+
+        f_rel = fm.bmm(F, fm.inv33(F_prev))
+        be_tr = fm.bmm(fm.bmm(f_rel, be_old), fm.transpose(f_rel))
+
+        I = fm.eye_like(be_tr)
+        S = fm.bmm(be_tr - I, fm.inv33(be_tr + I))
+        S2 = fm.bmm(S, S)
+        term = S
+        acc = S
+        for k in range(1, self.fm_gregory_terms):
+            term = fm.bmm(term, S2)
+            acc = acc + term / (2 * k + 1)
+        logbe = 2.0 * acc
+        if self.fm_stretch_guard is not None:
+            s2 = fm.trace(S2)  # ||S||_F^2 (S symmetric)
+            bad = s2 > jnp.asarray(self.fm_stretch_guard**2, dtype)
+            logbe = jnp.where(bad[None, None, :], jnp.nan, logbe)
+        eps_tr = fm.to_sym_cols(0.5 * logbe)  # (6, n) Mandel
+
+        tr_e = eps_tr[0] + eps_tr[1] + eps_tr[2]
+        iso = jnp.concatenate(
+            [jnp.broadcast_to(tr_e / 3.0, (3,) + tr_e.shape),
+             jnp.zeros((3,) + tr_e.shape, dtype)]
+        )
+        tau_tr = 2.0 * mu * eps_tr + lmbda * 3.0 * iso  # (6, n)
+        s_tr = 2.0 * mu * (eps_tr - iso)
+
+        sigY = self.yield_stress
+        Y0 = sigY(p)
+        tiny = (1e-14 * (1.0 + Y0)) ** 2
+        q_tr = jnp.sqrt(1.5 * jnp.sum(s_tr * s_tr, axis=0) + tiny)
+        f_act = jnp.maximum(q_tr - Y0, 0.0)
+
+        ones = jnp.ones_like(p)
+        dp = jnp.zeros_like(p)
+        for _ in range(self.fm_newton_iters):  # unrolled; fuses fully
+            r = f_act - 3.0 * mu * dp - (sigY(p + dp) - Y0)
+            dY = jax.jvp(sigY, (p + dp,), (ones,))[1]
+            dp = jnp.maximum(dp - r / (-3.0 * mu - dY), 0.0)
+
+        n_dir = 1.5 * s_tr / q_tr  # (6, n)
+        eps_e = eps_tr - dp * n_dir
+        tau = tau_tr - 2.0 * mu * dp * n_dir
+
+        P = fm.bmm(fm.from_sym_cols(tau), fm.transpose(fm.inv33(F)))
+        return fm.to_nonsym_rows(P), eps_e, p + dp
+
+    def _fm_state(self, Fv, eps_e, p_new):
+        from ..ops import matfun_fm as fm
+
+        be_new = fm.expm_unrolled(2.0 * fm.from_sym_cols(eps_e))
+        return {"be": fm.to_sym_cols(be_new).T, "p": p_new, "F_prev": Fv}
+
+    def batched_update(self, Fv, state, dt):
+        """Whole-batch PK1 + consistent 9x9 tangent + new state (picked up by
+        ``Material.integrate`` in place of the vmapped-jacfwd generic path).
+
+        Tangent: one fused vmap-of-jvp over the 9 basis directions — the primal
+        stays unbatched inside the vmap (computed once), the tangent ops ride a
+        9-wide leading axis, and the ``be`` commit (expm) sits outside the
+        differentiated core so its derivative is never built.
+        """
+        core = lambda x: self._fm_core(x, state)
+        seeds = jnp.broadcast_to(
+            jnp.eye(9, dtype=Fv.dtype)[:, None, :], (9, Fv.shape[0], 9)
+        )
+
+        def one(seed):
+            prim, tang = jax.jvp(core, (Fv,), (seed,))
+            return prim, tang[0]
+
+        (pk1, eps_e, p_new), cols = jax.vmap(one, out_axes=(None, 0))(seeds)
+        Ct = jnp.transpose(cols, (1, 2, 0)).reshape(Fv.shape[0], 81)
+        return pk1, Ct, self._fm_state(Fv, eps_e, p_new)
+
+    def batched_flux(self, Fv, state, dt):
+        """Tangent-free whole-batch update (line-search residual trials)."""
+        pk1, eps_e, p_new = self._fm_core(Fv, state)
+        return pk1, self._fm_state(Fv, eps_e, p_new)
 
 
 class HenckyFiniteStrain(FiniteStrainBehavior):
