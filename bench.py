@@ -47,10 +47,11 @@ def main():
     eps_T = jnp.asarray((rng.normal(size=(6, n)) * 2e-2).astype(np.float32))
     epsp_T = jnp.zeros((6, n), jnp.float32)
     p_row = jnp.zeros((1, n), jnp.float32)
-    # tuning (docs/perf.md): 8192-point tiles, 6 unrolled Newton iterations
-    # (f32-converged incl. 8-20%-strain steps), slab-wise tangent stores
-    update = make_j2_pallas_update(el, hard, tile=8192, n_iter=6)
-    upd_fact = make_j2_pallas_factored(el, hard, tile=8192, n_iter=6)
+    # tuning (docs/perf.md): 8192-point tiles, warm-started Newton (seed
+    # dp0 = f_act/(3mu + Y'(p)); 4 / 3 unrolled iterations = f32-converged
+    # incl. 8-20%-strain steps), slab tangent stores
+    update = make_j2_pallas_update(el, hard, tile=8192, n_iter=4)
+    upd_fact = make_j2_pallas_factored(el, hard, tile=8192, n_iter=3)
 
     # ---- on-device parity gate (mixed elastic/plastic batch) ---------------
     ref = jax.jit(make_j2_batched_update(el, hard))
