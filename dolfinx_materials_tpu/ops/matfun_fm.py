@@ -131,6 +131,103 @@ def to_sym_cols(A):
     )
 
 
+# --------------------------------------------------------------------------
+# Tuple representation: a batched 3x3 matrix as a 3x3 nested tuple of (n,)
+# arrays. Functionally identical to the stacked (3,3,n) layout, but with ZERO
+# stack/slice ops — reverse-mode AD through long unrolled chains of the
+# stacked form makes XLA:CPU's compile superlinear (measured: grad of a
+# ~45-bmm stacked chain never finishes; the tuple form compiles in seconds).
+# Use tuples for anything that will be differentiated in REVERSE mode
+# (energy-based models); the stacked form stays fine under forward-mode jvp.
+# --------------------------------------------------------------------------
+
+
+def t_from_nonsym_rows(v):
+    """(n, 9) nonsym vectors -> nested-tuple matrix of (n,) components."""
+    v = v.T
+    return ((v[0], v[3], v[5]), (v[4], v[1], v[7]), (v[6], v[8], v[2]))
+
+
+def t_transpose(A):
+    return tuple(tuple(A[j][i] for j in range(3)) for i in range(3))
+
+
+def t_bmm(A, B):
+    return tuple(
+        tuple(sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3))
+        for i in range(3)
+    )
+
+
+def t_add(A, B):
+    return tuple(tuple(A[i][j] + B[i][j] for j in range(3)) for i in range(3))
+
+
+def t_scale(s, A):
+    return tuple(tuple(s * A[i][j] for j in range(3)) for i in range(3))
+
+
+def t_trace(A):
+    return A[0][0] + A[1][1] + A[2][2]
+
+
+def t_eye_like(A):
+    one = jnp.ones_like(A[0][0])
+    zero = jnp.zeros_like(A[0][0])
+    return ((one, zero, zero), (zero, one, zero), (zero, zero, one))
+
+
+def t_det(A):
+    return (
+        A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+        - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+        + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0])
+    )
+
+
+def t_inv33(A):
+    c00 = A[1][1] * A[2][2] - A[1][2] * A[2][1]
+    c01 = A[0][2] * A[2][1] - A[0][1] * A[2][2]
+    c02 = A[0][1] * A[1][2] - A[0][2] * A[1][1]
+    c10 = A[1][2] * A[2][0] - A[1][0] * A[2][2]
+    c11 = A[0][0] * A[2][2] - A[0][2] * A[2][0]
+    c12 = A[0][2] * A[1][0] - A[0][0] * A[1][2]
+    c20 = A[1][0] * A[2][1] - A[1][1] * A[2][0]
+    c21 = A[0][1] * A[2][0] - A[0][0] * A[2][1]
+    c22 = A[0][0] * A[1][1] - A[0][1] * A[1][0]
+    idet = 1.0 / (A[0][0] * c00 + A[0][1] * c10 + A[0][2] * c20)
+    return (
+        (c00 * idet, c01 * idet, c02 * idet),
+        (c10 * idet, c11 * idet, c12 * idet),
+        (c20 * idet, c21 * idet, c22 * idet),
+    )
+
+
+def t_eigvals_sym(S, eps=1e-12, delta=1e-12):
+    """Tuple twin of :func:`eigvals_sym` (Cardano, smooth-guarded)."""
+    import numpy as np
+
+    q = t_trace(S) / 3.0
+    B00, B11, B22 = S[0][0] - q, S[1][1] - q, S[2][2] - q
+    p2 = (
+        B00 * B00 + B11 * B11 + B22 * B22
+        + 2.0 * (S[0][1] ** 2 + S[0][2] ** 2 + S[1][2] ** 2)
+    )
+    scale2 = sum(S[i][j] ** 2 for i in range(3) for j in range(3))
+    p = jnp.sqrt(p2 / 6.0 + eps * eps * (scale2 + 1.0))
+    detB = (
+        B00 * (B11 * B22 - S[1][2] * S[2][1])
+        - S[0][1] * (S[1][0] * B22 - S[1][2] * S[2][0])
+        + S[0][2] * (S[1][0] * S[2][1] - B11 * S[2][0])
+    )
+    r = jnp.clip(detB / (2.0 * p**3), -1.0 + delta, 1.0 - delta)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    return lam3, lam2, lam1
+
+
 def eigvals_sym(S, eps=1e-12, delta=1e-12):
     """Closed-form (Cardano) eigenvalues of symmetric (3,3,n), ascending,
     smooth-guarded (the feature-major twin of tensors.eigvals33_smooth).

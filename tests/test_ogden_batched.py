@@ -18,6 +18,9 @@ def test_ogden_batched_matches_generic():
     Fv = jnp.asarray(
         np.broadcast_to(np.asarray(tn.I9), (n, 9)) + 0.15 * rng.normal(size=(n, 9))
     )
+    # degenerate + near-spherical points exercise the scalar-series branch
+    Fv = Fv.at[0].set(jnp.asarray(tn.I9))
+    Fv = Fv.at[1].set(1.2 * jnp.asarray(tn.I9))
 
     # energy parity
     import jax
