@@ -12,6 +12,7 @@ from .mesh import (  # noqa: F401
     create_rectangle,
     create_unit_cube,
     create_unit_square,
+    curve_mesh,
 )
 from .element import ReferenceElement, quadrature_rule  # noqa: F401
 from .space import Function, FunctionSpace  # noqa: F401

@@ -47,7 +47,10 @@ class QuadratureDomain:
             else np.asarray(cells, dtype=np.int32)
         )
         elem = ReferenceElement(mesh.cell_type, space.degree, quad_degree)
-        geo = ReferenceElement(mesh.cell_type, 1, quad_degree)
+        # isoparametric: curved meshes (mesh.geom_degree == 2, see
+        # fem/mesh.py:curve_mesh) push geometry through the same AD-tabulated
+        # degree-2 element; straight meshes stay multilinear from the vertices
+        geo = ReferenceElement(mesh.cell_type, mesh.geom_degree, quad_degree)
         self.element = elem
         self.nq = elem.nq
         self.ne = len(self.cells)
@@ -56,7 +59,10 @@ class QuadratureDomain:
         self.ncomp = space.ncomp
         self.ndof_el = self.nloc * self.ncomp
 
-        coords = mesh.points[mesh.cells[self.cells]]  # (ne, nverts, dim)
+        if mesh.geom_degree == 1:
+            coords = mesh.points[mesh.cells[self.cells]]  # (ne, nverts, dim)
+        else:
+            coords = mesh.geom_points[mesh.geom_cells[self.cells]]
         J = np.einsum("cvi,qvj->cqij", coords, geo.dN)  # dx/dxi
         detJ = np.linalg.det(J)
         invJ = np.linalg.inv(J)  # dxi/dx

@@ -69,7 +69,19 @@ def _facet_nodes(space: FunctionSpace, facet_verts):
         return np.concatenate([facet_verts, mids], axis=1)
     if fct == "triangle":
         return np.concatenate([facet_verts, mids], axis=1)
-    raise NotImplementedError("P2 on hexahedra facets")
+    # quad facet of a Q2 hexahedron: verts, edge mids, face-center node
+    # (matches ReferenceElement("quad", 2) ordering: 4 verts, 4 mids, center)
+    face_lookup = {
+        tuple(fv): i for i, fv in enumerate(np.sort(space._face_verts, axis=1).tolist())
+    }
+    centers = np.array(
+        [
+            [space._face_node_offset + face_lookup[tuple(sorted(fvs))]]
+            for fvs in facet_verts.tolist()
+        ],
+        dtype=np.int32,
+    )
+    return np.concatenate([facet_verts, mids, centers], axis=1)
 
 
 def assemble_traction(space: FunctionSpace, where, value, quad_degree=4):

@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .element import CELL_DIM, CELL_VERTS, EDGES
+from .element import CELL_DIM, CELL_VERTS, EDGES, FACETS
 
 
 @dataclass
@@ -20,6 +20,12 @@ class Mesh:
     points: np.ndarray  # (npoints, dim) float64 vertex coordinates
     cells: np.ndarray  # (ncells, nverts) int32 vertex indices
     cell_type: str
+    #: isoparametric geometry: 1 = affine/multilinear from ``points`` (default);
+    #: 2 = curved, with per-cell degree-2 geometry nodes in geom_points/geom_cells
+    #: (set by :func:`curve_mesh`; consumed by assembly.QuadratureDomain)
+    geom_degree: int = 1
+    geom_points: np.ndarray | None = None
+    geom_cells: np.ndarray | None = None
 
     def __post_init__(self):
         self.points = np.asarray(self.points, dtype=np.float64)
@@ -58,8 +64,47 @@ class Mesh:
         cell_edges = inverse.reshape(len(self.cells), len(le)).astype(np.int32)
         return edge_verts, cell_edges
 
+    def faces(self):
+        """Unique 2D faces as sorted vertex tuples + per-cell face indices in
+        the ``element.FACETS`` local order. 3D cells only. Returns
+        (face_verts (nfaces, nfv), cell_faces (ncells, nlf))."""
+        lf = np.array(FACETS[self.cell_type])  # (nlf, nfv)
+        fv = self.cells[:, lf]
+        fv_sorted = np.sort(fv, axis=2).reshape(-1, lf.shape[1])
+        face_verts, inverse = np.unique(fv_sorted, axis=0, return_inverse=True)
+        cell_faces = inverse.reshape(len(self.cells), len(lf)).astype(np.int32)
+        return face_verts, cell_faces
+
     def cell_centers(self):
         return self.points[self.cells].mean(axis=1)
+
+
+def curve_mesh(mesh: Mesh, transform):
+    """Attach degree-2 (isoparametric) geometry to ``mesh``.
+
+    ``transform``: callable ``(n, dim) -> (n, dim)`` mapping the STRAIGHT node
+    positions (vertices + P2 edge/face/center nodes of the multilinear cell) to
+    their curved positions — the standard parametric-geometry pattern (e.g. a
+    polar map turning a structured rectangle into an exactly-curved annulus).
+    The reference gets curved cells from gmsh second-order elements via basix
+    push-forward (dolfinx C++); here the geometry basis is the same AD-tabulated
+    Q2/P2 element the function spaces use (fem/element.py).
+
+    Vertices are ALSO moved through ``transform`` so topology/BC queries stay
+    consistent with the curved shape.
+    """
+    from .space import FunctionSpace
+
+    V2 = FunctionSpace(mesh, degree=2, shape=())
+    curved = Mesh(
+        points=np.asarray(transform(mesh.points)),
+        cells=mesh.cells,
+        cell_type=mesh.cell_type,
+        geom_degree=2,
+        geom_points=np.asarray(transform(V2.node_coords)),
+        geom_cells=V2.cell_nodes,
+    )
+    return curved
 
 
 def create_rectangle(p0, p1, n, cell_type="quad"):

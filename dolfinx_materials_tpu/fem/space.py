@@ -26,8 +26,6 @@ class FunctionSpace:
             self.node_coords = mesh.points
             self.cell_nodes = mesh.cells
         elif degree == 2:
-            if cell == "hexahedron":
-                raise NotImplementedError("Q2 hexahedra not wired up yet")
             edge_verts, cell_edges = mesh.edges()
             self._edge_verts = edge_verts  # for facet-restricted dofs (facets.py)
             mid = mesh.points[edge_verts].mean(axis=1)
@@ -38,8 +36,27 @@ class FunctionSpace:
                 centers = mesh.points[mesh.cells].mean(axis=1)
                 parts.append(centers)
                 cn.append(nv + ne + np.arange(mesh.num_cells, dtype=np.int32)[:, None])
+            elif cell == "hexahedron":
+                # 27-node Q2: vertices, edge mids, face centers, body center.
+                # element.py lists face-center nodes in [z0, z1, y0, y1, x0, x1]
+                # order = FACETS indices [0, 1, 2, 4, 5, 3].
+                face_verts, cell_faces = mesh.faces()
+                self._face_verts = face_verts  # for facet-restricted dofs
+                self._face_node_offset = nv + ne
+                parts.append(mesh.points[face_verts].mean(axis=1))
+                cn.append(nv + ne + cell_faces[:, [0, 1, 2, 4, 5, 3]])
+                nf = len(face_verts)
+                parts.append(mesh.points[mesh.cells].mean(axis=1))
+                cn.append(
+                    nv + ne + nf + np.arange(mesh.num_cells, dtype=np.int32)[:, None]
+                )
             self.node_coords = np.vstack(parts)
             self.cell_nodes = np.hstack(cn).astype(np.int32)
+            if mesh.geom_degree == 2:
+                # isoparametric: degree-2 dof nodes sit at the CURVED geometry
+                # nodes (same vertex/edge/face enumeration, fem/mesh.py:curve_mesh)
+                assert mesh.geom_points.shape == self.node_coords.shape
+                self.node_coords = mesh.geom_points
         else:
             raise NotImplementedError(f"degree {degree}")
 

@@ -1,0 +1,171 @@
+"""Q2 (27-node) hexahedra and isoparametric curved geometry — round-1 VERDICT
+missing item 7 (the reference gets any degree + curved cells from basix/gmsh,
+dolfinx_materials/utils.py:84-95; here both come from the AD-tabulated element
+layer, fem/element.py + fem/mesh.py:curve_mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dolfinx_materials_tpu import Material, NonlinearMaterialProblem, QuadratureMap
+from dolfinx_materials_tpu.fem import (
+    DirichletBC,
+    Function,
+    FunctionSpace,
+    assemble_traction,
+    create_box,
+    create_rectangle,
+    curve_mesh,
+    locate_dofs_geometrical,
+)
+from dolfinx_materials_tpu.fem.assembly import QuadratureDomain
+from dolfinx_materials_tpu.fem.forms import mandel_strain_2d, mandel_strain_3d
+from dolfinx_materials_tpu.models import LinearElasticIsotropic
+
+E, nu = 70e3, 0.3
+
+
+def test_q2_hex_patch_test_exact():
+    """Linear displacement imposed on ALL boundary dofs of a Q2 hex mesh must be
+    reproduced exactly in the interior with uniform stress (patch test)."""
+    mesh = create_box((0, 0, 0), (1, 1, 1), (2, 2, 2), "hexahedron")
+    V = FunctionSpace(mesh, degree=2, shape=(3,))
+    assert V.nloc == 27
+    A = np.array([[1e-3, 2e-4, 0.0], [0.0, -3e-4, 1e-4], [2e-4, 0.0, 5e-4]])
+
+    coords = V.node_coords
+    on_bnd = np.zeros(len(coords), bool)
+    for d in range(3):
+        on_bnd |= np.isclose(coords[:, d], 0.0) | np.isclose(coords[:, d], 1.0)
+    u_exact = coords @ A.T
+    bcs = []
+    for comp in range(3):
+        dofs = np.where(on_bnd)[0] * 3 + comp
+        bcs.append(DirichletBC(dofs, u_exact[on_bnd, comp]))
+
+    mat = Material(LinearElasticIsotropic(E, nu))
+    qmap = QuadratureMap(V, 4, mat)
+    qmap.register_gradient("Strain", mandel_strain_3d())
+    u = Function(V)
+    problem = NonlinearMaterialProblem(
+        qmap, u, bcs=bcs, options={"ksp_type": "lu", "rtol": 1e-12}
+    )
+    conv, _ = problem.solve()
+    assert conv
+    np.testing.assert_allclose(
+        u.x.reshape(-1, 3), u_exact, atol=1e-10 * np.abs(A).max()
+    )
+    sig = np.asarray(mat.data_manager.s0["Stress"])
+    np.testing.assert_allclose(
+        sig,
+        np.broadcast_to(sig.mean(axis=0), sig.shape),
+        atol=1e-8 * np.abs(sig).max(),
+    )
+
+
+def test_q2_hex_quadratic_interpolation_exact():
+    """A Q2 space reproduces quadratic fields exactly: Gauss-point gradients of
+    an interpolated quadratic function match the analytic gradient."""
+    mesh = create_box((0, 0, 0), (1, 1, 1), (2, 1, 1), "hexahedron")
+    V = FunctionSpace(mesh, degree=2, shape=())
+    f = lambda x: x[:, 0] ** 2 + 2 * x[:, 1] * x[:, 2] - x[:, 2] ** 2
+    grad_f = lambda x: np.stack(
+        [2 * x[:, 0], 2 * x[:, 2], 2 * x[:, 1] - 2 * x[:, 2]], axis=1
+    )
+    g = Function(V).interpolate(f)
+    dom = QuadratureDomain(V, 4)
+    # evaluate the gradient via the domain's dNdx directly
+    u_e = np.asarray(g.x)[np.asarray(dom.dofmap)]
+    grads = np.einsum("eqvi,ev->eqi", np.asarray(dom.dNdx), u_e).reshape(-1, 3)
+    x_q = np.asarray(dom.x_q).reshape(-1, 3)
+    np.testing.assert_allclose(grads, grad_f(x_q), atol=1e-11)
+
+
+def test_q2_hex_traction_total_force():
+    """Constant traction on one Q2 hex face: assembled load sums to t * area
+    and lands only on that face's 9-node-per-facet dofs."""
+    mesh = create_box((0, 0, 0), (2, 1, 1), (2, 1, 1), "hexahedron")
+    V = FunctionSpace(mesh, degree=2, shape=(3,))
+    t = np.array([3.0, -1.0, 2.0])
+    F = assemble_traction(V, lambda x: np.isclose(x[:, 0], 2.0), t)
+    np.testing.assert_allclose(F.reshape(-1, 3).sum(axis=0), t * 1.0, rtol=1e-12)
+    loaded = np.unique(np.nonzero(F.reshape(-1, 3))[0])
+    np.testing.assert_allclose(V.node_coords[loaded, 0], 2.0)
+
+
+def quarter_annulus(n, degree_geom):
+    """Structured quarter annulus r in [1, 2], theta in [0, pi/2]: a rectangle
+    (r, theta) mapped by the polar transform; curved if degree_geom == 2."""
+    base = create_rectangle((1.0, 0.0), (2.0, np.pi / 2), (n, n), "quad")
+
+    def polar(p):
+        r, th = p[:, 0], p[:, 1]
+        return np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+
+    if degree_geom == 2:
+        return curve_mesh(base, polar)
+    straight = create_rectangle((1.0, 0.0), (2.0, np.pi / 2), (n, n), "quad")
+    straight.points = polar(straight.points)
+    return straight
+
+
+def test_curved_geometry_annulus_area():
+    """Quarter-annulus area 3*pi/4: isoparametric Q2 geometry integrates it to
+    ~5e-5 relative on a 4x4 mesh where straight quads are off by ~4e-3."""
+    exact = 3 * np.pi / 4
+    errs = {}
+    for geom_deg in (1, 2):
+        mesh = quarter_annulus(4, geom_deg)
+        V = FunctionSpace(mesh, degree=1, shape=())
+        dom = QuadratureDomain(V, 4)
+        area = float(np.asarray(dom.wdetJ).sum())
+        errs[geom_deg] = abs(area - exact) / exact
+    assert errs[1] > 1e-3  # straight-edged quads genuinely miss the area
+    # Q2 arc interpolation error is O(theta^4) ~ 5e-5 on 22.5-degree elements
+    assert errs[2] < 1e-4 and errs[2] < errs[1] / 30
+
+
+def test_curved_lame_cylinder_stress():
+    """Internally pressurized thick cylinder on CURVED Q2-geometry quads with a
+    P2 displacement space: hoop stress at the inner radius within 0.5% of the
+    Lamé closed form on a coarse 6x6 mesh (plane strain)."""
+    Ri, Re, p = 1.0, 2.0, 10.0
+    mesh = quarter_annulus(6, 2)
+    V = FunctionSpace(mesh, degree=2, shape=(2,))
+
+    x_axis = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0.0), 1)
+    y_axis = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0.0), 0)
+    bcs = [DirichletBC(x_axis, 0.0), DirichletBC(y_axis, 0.0)]
+
+    mat = Material(LinearElasticIsotropic(E, nu))
+    qmap = QuadratureMap(V, 4, mat)
+    qmap.register_gradient("Strain", mandel_strain_2d())
+    u = Function(V)
+    # inner-pressure traction: t = p * n, n = -x/|x| on r = Ri (curved facets
+    # keep P1 facet geometry — the traction is applied on the chords, a ~1e-3
+    # geometric consistency error at this resolution)
+    F = assemble_traction(
+        V,
+        lambda x: np.linalg.norm(x, axis=1) < Ri + 0.02,
+        lambda x: p * x / np.linalg.norm(x, axis=1, keepdims=True),
+    )
+    problem = NonlinearMaterialProblem(
+        qmap, u, bcs=bcs, options={"ksp_type": "lu", "rtol": 1e-12}
+    )
+    problem.external_force = F
+    conv, _ = problem.solve()
+    assert conv
+
+    # Lamé: sig_tt(r) = p Ri^2/(Re^2-Ri^2) (1 + Re^2/r^2)
+    x_q = np.asarray(qmap.domain.x_q).reshape(-1, 2)
+    r_q = np.linalg.norm(x_q, axis=1)
+    sig = np.asarray(mat.data_manager.s0["Stress"])
+    th = np.arctan2(x_q[:, 1], x_q[:, 0])
+    c, s = np.cos(th), np.sin(th)
+    # hoop stress from Cartesian Mandel components
+    sig_tt = (
+        sig[:, 0] * s**2 + sig[:, 1] * c**2 - 2 * sig[:, 3] / np.sqrt(2) * s * c
+    )
+    inner = r_q < Ri + 0.05
+    sig_tt_exact = p * Ri**2 / (Re**2 - Ri**2) * (1 + Re**2 / r_q[inner] ** 2)
+    err = np.abs(sig_tt[inner] - sig_tt_exact) / np.abs(sig_tt_exact)
+    assert err.max() < 5e-3, err.max()
