@@ -18,6 +18,7 @@ rotation calls.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,6 +149,10 @@ class MericCailletaudCrystalPlasticity(SmallStrainBehavior):
         interaction_matrix=None,
         tol=1e-12,
         max_iter=60,
+        fm_newton_iters=48,
+        fm_backtracks=6,
+        fm_ridge=1e-12,
+        use_batched_fast=True,
     ):
         self.C6 = jnp.asarray(cubic_elasticity_C(E, nu, G))
         normals, dirs = fcc_slip_systems()
@@ -166,6 +171,12 @@ class MericCailletaudCrystalPlasticity(SmallStrainBehavior):
         self.C_kin = C_kin
         self.tol = tol
         self.max_iter = max_iter
+        self.fm_newton_iters = fm_newton_iters
+        self.fm_backtracks = fm_backtracks
+        self.fm_ridge = fm_ridge
+        if not use_batched_fast:
+            self.batched_update = None
+            self.batched_flux = None
 
     def init_state(self):
         z = jnp.zeros(self.nss)
@@ -206,3 +217,169 @@ class MericCailletaudCrystalPlasticity(SmallStrainBehavior):
             "a": a + da,
         }
         return sig, new_state
+
+    # ------------------------------------------------- TPU whole-batch path
+    def _fm_residual(self, dg, eps_T, eps_p_T, p_T, a_T, dt_safe):
+        """Feature-major residual: all arrays (nss|6, n); the resolved-shear /
+        hardening algebra is (12,6)x(6,n) / (12,12)x(12,n) MATMULS with the
+        point axis on the lanes — the MXU does the work the reference leaves
+        to TFEL's scalar C++ loops."""
+        abs_dg = jnp.abs(dg)
+        deps_p = self.mus.T @ dg  # (6, n)
+        eps_el = eps_T - eps_p_T - deps_p
+        sig = self.C6 @ eps_el
+        tau = self.mus @ sig  # (12, n)
+        r_iso = self.tau0 + self.Q * (
+            self.H @ (1.0 - jnp.exp(-self.b * (p_T + abs_dg)))
+        )
+        da = (dg - self.d * a_T * abs_dg) / (1.0 + self.d * abs_dg)
+        x_back = self.C_kin * (a_T + da)
+        f = jnp.maximum(jnp.abs(tau - x_back) - r_iso, 0.0)
+        return dg - dt_safe * (f / self.K) ** self.n * jnp.sign(tau - x_back)
+
+    @staticmethod
+    def _fm_lu_solve(J, rhs_list, ridge):
+        """Unrolled pivot-free LU of (nss, nss, n) + solves for each (nss, n)
+        rhs. Plasticity Jacobians here are identity + rate terms with dominant
+        diagonals; a tiny relative ridge guards exact zeros. Returns the list
+        of solutions (parity vs the generic path's pivoted solve is asserted
+        in tests over full loading histories)."""
+        nss = J.shape[0]
+        dscale = sum(jnp.abs(J[i, i]) for i in range(nss)) / nss
+        A = [[J[i, j] for j in range(nss)] for i in range(nss)]
+        for i in range(nss):
+            A[i][i] = A[i][i] + ridge * dscale
+        # in-place LU (Doolittle), unrolled
+        for k in range(nss):
+            inv_akk = 1.0 / A[k][k]
+            for i in range(k + 1, nss):
+                lik = A[i][k] * inv_akk
+                A[i][k] = lik
+                for j in range(k + 1, nss):
+                    A[i][j] = A[i][j] - lik * A[k][j]
+        outs = []
+        for rhs in rhs_list:
+            y = [rhs[i] for i in range(nss)]
+            for i in range(nss):
+                for j in range(i):
+                    y[i] = y[i] - A[i][j] * y[j]
+            for i in reversed(range(nss)):
+                for j in range(i + 1, nss):
+                    y[i] = y[i] - A[i][j] * y[j]
+                y[i] = y[i] / A[i][i]
+            outs.append(jnp.stack(y))
+        return outs
+
+    def _fm_jacobian(self, dg, eps_T, eps_p_T, p_T, a_T, dt_safe):
+        """J[i,j,n] = d res_i / d dg_j via 12 forward-mode seeds (one fused
+        vmap-of-jvp; the primal stays unbatched inside the vmap)."""
+        res = lambda x: self._fm_residual(x, eps_T, eps_p_T, p_T, a_T, dt_safe)
+        nss, n = dg.shape
+        seeds = jnp.broadcast_to(
+            jnp.eye(nss, dtype=dg.dtype)[:, :, None], (nss, nss, n)
+        )
+        tang = jax.vmap(lambda s: jax.jvp(res, (dg,), (s,))[1])(seeds)
+        return jnp.transpose(tang, (1, 0, 2))  # (i, j, n)
+
+    def _fm_solve(self, eps_T, eps_p_T, p_T, a_T, dt_safe):
+        """Feature-major Newton on the slip increments: `fori_loop`-rolled
+        (the body is large: residual + 12-seed Jacobian + unrolled LU) with
+        per-point masked backtracking."""
+        res = lambda x: self._fm_residual(x, eps_T, eps_p_T, p_T, a_T, dt_safe)
+        n = eps_T.shape[1]
+        dtype = eps_T.dtype
+
+        def newton_body(_, dg):
+            r = res(dg)
+            J = self._fm_jacobian(dg, eps_T, eps_p_T, p_T, a_T, dt_safe)
+            (dx,) = self._fm_lu_solve(J, [r], self.fm_ridge)
+            rn0 = jnp.sum(r * r, axis=0)
+            alpha = jnp.ones_like(rn0)
+            best = jnp.full_like(rn0, jnp.inf)
+            chosen = jnp.ones_like(rn0)
+            for _t in range(self.fm_backtracks):
+                rt = res(dg - alpha * dx)
+                rn = jnp.sum(rt * rt, axis=0)
+                rn = jnp.where(jnp.isfinite(rn), rn, jnp.inf)
+                better = rn < best
+                chosen = jnp.where(better, alpha, chosen)
+                best = jnp.where(better, rn, best)
+                alpha = 0.5 * alpha
+            # accept the best trial only if it improves; else damp hard
+            chosen = jnp.where(best < rn0, chosen, alpha)
+            return dg - chosen * dx
+
+        return jax.lax.fori_loop(
+            0, self.fm_newton_iters, newton_body, jnp.zeros((self.nss, n), dtype)
+        )
+
+    def batched_update(self, eps, state, dt):
+        """Whole-batch feature-major update + consistent 6x6 tangent from the
+        IFT at the converged root — 6 extra solves against the final Jacobian,
+        never differentiating the Newton loop."""
+        dtype = eps.dtype
+        n = eps.shape[0]
+        eps_T = eps.T  # (6, n)
+        eps_p_T = state["eps_p"].astype(dtype).T
+        p_T = state["p"].astype(dtype).T
+        a_T = state["a"].astype(dtype).T
+        dt_safe = jnp.maximum(jnp.asarray(dt, dtype), 1e-14)
+
+        dg = self._fm_solve(eps_T, eps_p_T, p_T, a_T, dt_safe)
+
+        # converged quantities
+        abs_dg = jnp.abs(dg)
+        deps_p = self.mus.T @ dg
+        eps_el = eps_T - eps_p_T - deps_p
+        sig = self.C6 @ eps_el  # (6, n)
+        da = (dg - self.d * a_T * abs_dg) / (1.0 + self.d * abs_dg)
+        new_state = {
+            "eps_p": (eps_p_T + deps_p).T,
+            "g": state["g"].astype(dtype) + dg.T,
+            "p": (p_T + abs_dg).T,
+            "a": (a_T + da).T,
+        }
+
+        # IFT consistent tangent: J ddg_k = -d res/d eps . e_k, then
+        # dsig/deps_k = C6 (e_k - mus^T ddg_k)
+        J = self._fm_jacobian(dg, eps_T, eps_p_T, p_T, a_T, dt_safe)
+        res_eps = lambda e: self._fm_residual(dg, e, eps_p_T, p_T, a_T, dt_safe)
+        eseeds = jnp.broadcast_to(
+            jnp.eye(6, dtype=dtype)[:, :, None], (6, 6, n)
+        )
+        rhs = jax.vmap(lambda s: jax.jvp(res_eps, (eps_T,), (s,))[1])(eseeds)
+        ddg = self._fm_lu_solve(J, [-rhs[k] for k in range(6)], self.fm_ridge)
+        cols = [
+            self.C6 @ (
+                jnp.eye(6, dtype=dtype)[:, k : k + 1] - self.mus.T @ ddg[k]
+            )
+            for k in range(6)
+        ]  # each (6, n)
+        Ct = jnp.stack(cols, axis=1)  # (6_out, 6_in, n)
+        return sig.T, jnp.transpose(Ct, (2, 0, 1)).reshape(n, 36), new_state
+
+    def batched_flux(self, eps, state, dt):
+        """Tangent-free whole-batch update (line-search residual trials)."""
+        sig, _, new_state = self._fm_flux_only(eps, state, dt)
+        return sig, new_state
+
+    def _fm_flux_only(self, eps, state, dt):
+        # share the Newton with batched_update minus the tangent solves
+        dtype = eps.dtype
+        eps_T = eps.T
+        eps_p_T = state["eps_p"].astype(dtype).T
+        p_T = state["p"].astype(dtype).T
+        a_T = state["a"].astype(dtype).T
+        dt_safe = jnp.maximum(jnp.asarray(dt, dtype), 1e-14)
+        dg = self._fm_solve(eps_T, eps_p_T, p_T, a_T, dt_safe)
+        abs_dg = jnp.abs(dg)
+        deps_p = self.mus.T @ dg
+        sig = self.C6 @ (eps_T - eps_p_T - deps_p)
+        da = (dg - self.d * a_T * abs_dg) / (1.0 + self.d * abs_dg)
+        new_state = {
+            "eps_p": (eps_p_T + deps_p).T,
+            "g": state["g"].astype(dtype) + dg.T,
+            "p": (p_T + abs_dg).T,
+            "a": (a_T + da).T,
+        }
+        return sig.T, None, new_state
