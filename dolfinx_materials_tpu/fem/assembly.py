@@ -219,6 +219,21 @@ class QuadratureDomain:
         d_e = jnp.diagonal(K_e, axis1=1, axis2=2)
         return jnp.zeros(ndofs, K_e.dtype).at[self.dofmap.ravel()].add(d_e.ravel())
 
+    def matrix_node_blocks(self, K_e, nnodes):
+        """Per-NODE (ncomp x ncomp) diagonal blocks of the assembled operator,
+        (nnodes, ncomp, ncomp) — the block-Jacobi preconditioner's data. Local
+        dofs are node-blocked (``dof = node*ncomp + comp``), so the block
+        diagonal is one einsum + scatter-add."""
+        nc = self.ncomp
+        Kb = K_e.reshape(self.ne, self.nloc, nc, self.nloc, nc)
+        diagb = jnp.einsum("eiaib->eiab", Kb)  # (ne, nloc, nc, nc)
+        nodes = self.dofmap[:, ::nc] // nc  # (ne, nloc)
+        return (
+            jnp.zeros((nnodes, nc, nc), K_e.dtype)
+            .at[nodes.ravel()]
+            .add(diagb.reshape(-1, nc, nc))
+        )
+
     def to_scipy_csr(self, K_e, ndofs):
         """Export the assembled sparse matrix for host direct solves."""
         import scipy.sparse as sp
