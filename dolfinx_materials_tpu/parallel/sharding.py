@@ -27,10 +27,28 @@ shard_map = jax.shard_map
 
 
 def device_mesh(n_devices=None, axis="cells", devices=None):
+    """1-axis device mesh, or a MULTI-AXIS mesh when ``axis`` is a tuple of
+    names and ``n_devices`` a matching tuple of sizes — e.g.
+    ``device_mesh((2, 4), ("dcn", "ici"))`` for the multi-host layout: the
+    slow outer axis (data-center network) times the fast inner axis
+    (intra-pod ICI). Every kernel in this module accepts the same tuple as
+    its ``axis`` argument; XLA then lowers each collective hierarchically
+    (ICI stage first, DCN stage on the reduced data)."""
     devices = devices if devices is not None else jax.devices()
+    if isinstance(axis, (tuple, list)):
+        sizes = tuple(int(s) for s in n_devices)
+        devices = devices[: int(np.prod(sizes))]
+        return Mesh(np.array(devices).reshape(sizes), tuple(axis))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def _axis_size(mesh: Mesh, axis):
+    """Total shard count of ``axis`` (a name or tuple of names)."""
+    if isinstance(axis, (tuple, list)):
+        return int(np.prod([mesh.shape[a] for a in axis]))
+    return mesh.shape[axis]
 
 
 def pad_to_multiple(arr, m, axis=0, fill=0):
@@ -50,8 +68,10 @@ def make_sharded_constitutive_update(material, mesh: Mesh, axis="cells"):
     """Jitted sharded batched update: (x (n, nin), state pytree, dt) -> outputs.
 
     ``n`` must be divisible by the mesh size (use :func:`pad_to_multiple`).
-    Zero collectives: the point axis is embarrassingly parallel.
+    Zero collectives: the point axis is embarrassingly parallel. ``axis`` may
+    be a tuple of mesh axes (multi-host dcn x ici layout, :func:`device_mesh`).
     """
+    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     point_update = material._point_update
 
     @partial(
@@ -91,6 +111,13 @@ def make_sharded_newton_step(
     iteration backtracks on the flux-only residual. Handles the sharp-Voce
     flagship material (tests/test_sharding.py).
 
+    Multi-host readiness: ``axis`` may be a TUPLE of mesh axes (e.g.
+    ``("dcn", "ici")`` from ``device_mesh((n_hosts, n_chips), ...)``) — cells
+    shard over the full device grid and every collective (all_gather /
+    psum_scatter / psum) names both axes, which XLA lowers hierarchically so
+    the wide dof traffic rides ICI within a host-group and only the reduced
+    stage crosses DCN. Validated on a virtual 2 x 4 mesh (tests/test_sharding.py).
+
     Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
     (u, R, CG workspace, bc arrays) are SHARDED over the mesh axis instead of
     replicated: per-matvec traffic is one ``all_gather`` (transient full
@@ -100,7 +127,8 @@ def make_sharded_newton_step(
     """
     dom = qmap.domain
     material = qmap.material
-    ndev = mesh.shape[axis]
+    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
+    ndev = _axis_size(mesh, axis)
     gname = material.gradient_names[0]
     fname = material.flux_names[0]
     expr = qmap.gradient_exprs[gname]

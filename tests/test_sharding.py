@@ -174,3 +174,66 @@ def test_sharded_newton_step_dof_sharded_large():
     assert u.shape == (Vb.num_dofs,)
     assert np.abs(u).max() > 1e-5  # the load actually deformed the plate
     assert st["p"].shape[0] == qmap.num_points  # trimmed state
+
+
+def test_sharded_newton_step_two_axis_mesh():
+    """Multi-host-shaped 2 x 4 (dcn x ici) mesh: the fused step's collectives
+    name BOTH axes (hierarchical lowering — dof traffic rides the inner axis,
+    the reduced stage crosses the outer one) and must match the host solver,
+    with dof vectors replicated AND sharded."""
+    cmesh = device_mesh((2, 4), axis=("dcn", "ici"))
+    mesh = create_unit_square(5, 5, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 3 * sig0 / E
+
+    def build(mat):
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("Strain", mandel_strain_2d())
+        left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+        bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+        right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+        return qmap, [
+            DirichletBC(left, 0.0),
+            DirichletBC(bottom, 0.0),
+            DirichletBC(right, exx),
+        ]
+
+    mat1 = make_material()
+    qmap1, bcs = build(mat1)
+    u1 = Function(V)
+    prob = NonlinearMaterialProblem(qmap1, u1, bcs=bcs, options={"ksp_type": "lu"})
+    converged, _ = prob.solve()
+    assert converged
+    mask, vals = combine_bcs(bcs, V.num_dofs)
+
+    for shard_dofs in (False, True):
+        mat2 = make_material()
+        qmap2, bcs2 = build(mat2)
+        prob2 = NonlinearMaterialProblem(qmap2, Function(V), bcs=bcs2)
+        step, pad_state = make_sharded_newton_step(
+            qmap2,
+            prob2,
+            cmesh,
+            axis=("dcn", "ici"),
+            n_newton=12,
+            n_cg=200,
+            shard_dofs=shard_dofs,
+        )
+        if shard_dofs:
+            nd_p = V.num_dofs + ((-V.num_dofs) % 8)
+            u0 = jnp.zeros(nd_p)
+            mask_p = np.zeros(nd_p, bool)
+            mask_p[: V.num_dofs] = mask
+            vals_p = np.zeros(nd_p)
+            vals_p[: V.num_dofs] = vals
+            u_sh, new_state, res_norm = step(
+                u0, mat2.data_manager.s0.internal, mask_p, vals_p, 0.0
+            )
+            u_out = np.asarray(u_sh)[: V.num_dofs]
+        else:
+            u_sh, new_state, res_norm = step(
+                jnp.zeros(V.num_dofs), mat2.data_manager.s0.internal, mask, vals, 0.0
+            )
+            u_out = np.asarray(u_sh)
+        assert float(res_norm) < 1e-8 * E, shard_dofs
+        np.testing.assert_allclose(u_out, u1.x, rtol=1e-6, atol=1e-10)
