@@ -119,6 +119,105 @@ def main():
         full = n * 2 / timed(loop, 2)
         fact = 0.0
 
+    # ---- secondary model-family metrics (guarded: never block the headline) -
+    def chained_gp(upd, x0, state0, evolve, n_pts, K1=2, K2=8):
+        @jax.jit
+        def loop(x, st, K):
+            def body(i, carry):
+                xc, stc = carry
+                out = upd(xc, stc, 1e-2)
+                return evolve(x0, out), out[-1]
+
+            return jax.lax.fori_loop(0, K, body, (x, st))
+
+        def t(K):
+            out = loop(x0, state0, K)
+            float(jnp.sum(out[0]))
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = loop(x0, state0, K)
+                float(jnp.sum(out[0]))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return n_pts * (K2 - K1) / (t(K2) - t(K1))
+
+    extras = {}
+    try:
+        from dolfinx_materials_tpu.models import FeFpJ2Plasticity
+        from dolfinx_materials_tpu.ops import tensors as _tn
+
+        fefp = FeFpJ2Plasticity(el, hard)
+        nf = 1 << 17
+        rng2 = np.random.default_rng(1)
+        F0 = np.tile(np.eye(3), (nf, 1, 1)) + 2e-2 * rng2.standard_normal((nf, 3, 3))
+        Fv0 = jnp.asarray(
+            np.asarray(_tn.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        )
+        st0 = {
+            "be": jnp.tile(jnp.asarray(_tn.I2, jnp.float32), (nf, 1)),
+            "p": jnp.zeros(nf, jnp.float32),
+            "F_prev": jnp.tile(jnp.asarray(_tn.I9, jnp.float32), (nf, 1)),
+        }
+        extras["fefp_gp_per_s"] = float(
+            chained_gp(
+                fefp.batched_update, Fv0, st0,
+                # Ct must feed the carry or XLA dead-code-eliminates the
+                # 9-seed tangent pass (same trick as the J2 loop's X term)
+                lambda x0, out: x0 + 1e-6 * out[0] + 1e-9 * out[1][:, :9], nf,
+            )
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        extras["fefp_gp_per_s"] = f"failed: {type(e).__name__}"
+
+    try:
+        from dolfinx_materials_tpu.models import MericCailletaudCrystalPlasticity
+        from dolfinx_materials_tpu.material import Material as _Mat
+
+        beh_c = MericCailletaudCrystalPlasticity()
+        mat_c = _Mat(beh_c)
+        nc = 1 << 14
+        mat_c.set_data_manager(nc)
+        eps0 = jnp.asarray(
+            (2e-3 * np.random.default_rng(2).standard_normal((nc, 6))).astype(
+                np.float32
+            )
+        )
+        stc = mat_c.data_manager.s0.internal
+        extras["crystal_gp_per_s"] = float(
+            chained_gp(
+                beh_c.batched_update, eps0, stc,
+                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :6],
+                nc, K1=1, K2=4,
+            )
+        )
+    except Exception as e:  # pragma: no cover
+        extras["crystal_gp_per_s"] = f"failed: {type(e).__name__}"
+
+    try:
+        from dolfinx_materials_tpu.models import Ogden
+
+        og = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
+        no = 1 << 16
+        F0 = np.tile(np.eye(3), (no, 1, 1)) + 0.1 * np.random.default_rng(
+            3
+        ).standard_normal((no, 3, 3))
+        from dolfinx_materials_tpu.ops import tensors as _tn2
+
+        Fvo = jnp.asarray(
+            np.asarray(_tn2.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        )
+        extras["ogden_gp_per_s"] = float(
+            chained_gp(
+                og.batched_update, Fvo, {},
+                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :9],
+                no, K1=1, K2=4,
+            )
+        )
+    except Exception as e:  # pragma: no cover
+        extras["ogden_gp_per_s"] = f"failed: {type(e).__name__}"
+
     print(
         json.dumps(
             {
@@ -131,6 +230,7 @@ def main():
                 "parity_Ct": err_Ct,
                 "parity_p": err_p,
                 "parity_Ct_factored": err_fact,
+                **extras,
             }
         )
     )
