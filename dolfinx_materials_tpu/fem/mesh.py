@@ -70,6 +70,11 @@ class Mesh:
         (face_verts (nfaces, nfv), cell_faces (ncells, nlf))."""
         lf = np.array(FACETS[self.cell_type])  # (nlf, nfv)
         fv = self.cells[:, lf]
+        from .. import native
+
+        out = native.unique_faces(fv)
+        if out is not None:
+            return out
         fv_sorted = np.sort(fv, axis=2).reshape(-1, lf.shape[1])
         face_verts, inverse = np.unique(fv_sorted, axis=0, return_inverse=True)
         cell_faces = inverse.reshape(len(self.cells), len(lf)).astype(np.int32)

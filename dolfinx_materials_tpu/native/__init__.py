@@ -46,6 +46,14 @@ def _load():
             np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.int32),
         ]
+        lib.unique_faces.restype = ctypes.c_int64
+        lib.unique_faces.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int64,
+        ]
         lib.unique_edges.restype = ctypes.c_int64
         lib.unique_edges.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
@@ -106,3 +114,21 @@ def unique_edges(ev):
     if n < 0:
         return None
     return edge_verts[:n].copy(), cell_edges
+
+
+def unique_faces(fv):
+    """fv: (ncells, nlf, nfv) int32 -> (face_verts (nf, nfv) sorted tuples,
+    cell_faces (ncells, nlf)); None if the native engine is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ncells, nlf, nfv = fv.shape
+    fv = np.ascontiguousarray(fv, dtype=np.int32)
+    cell_faces = np.empty((ncells, nlf), dtype=np.int32)
+    cap = ncells * nlf
+    face_verts = np.empty((cap, nfv), dtype=np.int32)
+    n = lib.unique_faces(ncells, nlf, nfv, fv.reshape(-1),
+                         cell_faces.reshape(-1), face_verts.reshape(-1), cap)
+    if n < 0:
+        return None
+    return face_verts[:n].copy(), cell_faces

@@ -105,4 +105,48 @@ int64_t unique_edges(int64_t ncells, int64_t nle, const int32_t* ev,
   return nedges;
 }
 
+// Unique-face extraction (3D cells; nfv = 3 or 4 vertices per face).
+// In:  fv (ncells*nlf*nfv int32) per-cell face vertex tuples (any order).
+// Out: cell_faces (ncells*nlf int32) face ids; face_verts_out (cap*nfv) unique
+//      SORTED tuples, first-seen order. Returns the unique count (-1: cap).
+int64_t unique_faces(int64_t ncells, int64_t nlf, int64_t nfv, const int32_t* fv,
+                     int32_t* cell_faces, int32_t* face_verts_out, int64_t cap) {
+  struct KeyHash {
+    size_t operator()(const std::vector<int32_t>& k) const {
+      size_t h = 1469598103934665603ull;
+      for (int32_t v : k) {
+        h ^= (size_t)(uint32_t)v;
+        h *= 1099511628211ull;
+      }
+      return h;
+    }
+  };
+  std::unordered_map<std::vector<int32_t>, int32_t, KeyHash> seen;
+  seen.reserve((size_t)(ncells * nlf));
+  std::vector<int32_t> key((size_t)nfv);
+  int64_t nfaces = 0;
+  for (int64_t f = 0; f < ncells * nlf; ++f) {
+    for (int64_t j = 0; j < nfv; ++j) key[(size_t)j] = fv[nfv * f + j];
+    // insertion-sort the <=4 vertices
+    for (int64_t a = 1; a < nfv; ++a)
+      for (int64_t b = a; b > 0 && key[(size_t)b - 1] > key[(size_t)b]; --b) {
+        int32_t t = key[(size_t)b];
+        key[(size_t)b] = key[(size_t)b - 1];
+        key[(size_t)b - 1] = t;
+      }
+    auto it = seen.find(key);
+    if (it == seen.end()) {
+      if (nfaces >= cap) return -1;
+      seen.emplace(key, (int32_t)nfaces);
+      for (int64_t j = 0; j < nfv; ++j)
+        face_verts_out[nfv * nfaces + j] = key[(size_t)j];
+      cell_faces[f] = (int32_t)nfaces;
+      ++nfaces;
+    } else {
+      cell_faces[f] = it->second;
+    }
+  }
+  return nfaces;
+}
+
 }  // extern "C"

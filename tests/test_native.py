@@ -60,3 +60,27 @@ def test_unique_edges_equivalent_topology():
     np.testing.assert_array_equal(
         np.sort(edge_verts[cell_edges], axis=-1).reshape(-1, 2), ev_sorted
     )
+
+
+def test_unique_faces_matches_numpy():
+    from dolfinx_materials_tpu import native
+    from dolfinx_materials_tpu.fem import create_box
+    from dolfinx_materials_tpu.fem.element import FACETS
+
+    mesh = create_box((0, 0, 0), (1, 1, 1), (3, 2, 2), "hexahedron")
+    lf = np.array(FACETS["hexahedron"])
+    fv = mesh.cells[:, lf]
+    out = native.unique_faces(fv)
+    if out is None:
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    face_verts, cell_faces = out
+    # numpy reference (different face NUMBERING is fine; the per-cell sorted
+    # tuples must agree)
+    fv_sorted = np.sort(fv, axis=2)
+    np.testing.assert_array_equal(face_verts[cell_faces], fv_sorted)
+    # unique + complete
+    assert len(np.unique(face_verts, axis=0)) == len(face_verts)
+    nf_expected = len(np.unique(fv_sorted.reshape(-1, 4), axis=0))
+    assert len(face_verts) == nf_expected
