@@ -80,11 +80,93 @@ class QuadratureDomain:
         self.x_q = jnp.asarray(x_q)
         self.dofmap = jnp.asarray(space.dofmap[self.cells])  # (ne, ndof_el)
         self.cell_volumes = jnp.sum(self.wdetJ, axis=1)
+        self._build_gather_map()
+        # stencil (shifted-slice) gather/assembly on structured P1 grids:
+        # TPU scalar gathers/scatters measured ~100x slower than slices
+        # (docs/perf.md "assembly-free SpMV")
+        self._stencil = None
+        if (
+            getattr(mesh, "grid", None) is not None
+            and space.degree == 1
+            and cells is None
+            and mesh.cell_type in ("quad", "hexahedron")
+        ):
+            self._stencil = tuple(int(g) for g in mesh.grid)
+
+    _CORNERS_2D = ((0, 0), (1, 0), (1, 1), (0, 1))
+    _CORNERS_3D = (
+        (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+    )
+
+    def _build_gather_map(self):
+        """Transpose of the dofmap scatter: for every global dof, the (padded)
+        positions of its element contributions in the flattened element-value
+        array. Assembly then runs as ONE gather + row-sum — TPU scatter-add
+        with duplicate indices measured 1-2 GB/s effective (300x off the
+        memory roofline, docs/perf.md); gathers run at memory speed."""
+        dm = np.asarray(self.dofmap).ravel()
+        ndofs = self.space.num_dofs
+        order = np.argsort(dm, kind="stable")
+        sorted_dofs = dm[order]
+        counts = np.bincount(sorted_dofs, minlength=ndofs)
+        kmax = int(counts.max()) if len(dm) else 0
+        gm = np.full((ndofs, kmax), len(dm), dtype=np.int64)  # pad -> zero slot
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx_within = np.arange(len(dm)) - np.repeat(starts, counts)
+        gm[sorted_dofs, idx_within] = order
+        self._gather_map = jnp.asarray(gm.astype(np.int32))
+
+    def scatter_dofs(self, vals_e):
+        """Sum element-local values (ne, ndof_el) into a global (ndofs,)
+        vector. Structured P1 grids use shifted-slice adds onto the node grid
+        (stencil assembly, no scatter); otherwise the precomputed gather map
+        (one gather + row-sum)."""
+        nc = self.ncomp
+        if self._stencil is not None and len(self._stencil) == 2:
+            nx, ny = self._stencil
+            vals = vals_e.reshape(nx, ny, self.nloc, nc)
+            y = jnp.zeros((nx + 1, ny + 1, nc), vals_e.dtype)
+            for k, (di, dj) in enumerate(self._CORNERS_2D):
+                y = y.at[di : di + nx, dj : dj + ny].add(vals[:, :, k])
+            return y.reshape(-1)
+        if self._stencil is not None:
+            nx, ny, nz = self._stencil
+            vals = vals_e.reshape(nx, ny, nz, self.nloc, nc)
+            y = jnp.zeros((nx + 1, ny + 1, nz + 1, nc), vals_e.dtype)
+            for k, (di, dj, dk) in enumerate(self._CORNERS_3D):
+                y = y.at[di : di + nx, dj : dj + ny, dk : dk + nz].add(
+                    vals[:, :, :, k]
+                )
+            return y.reshape(-1)
+        vals = jnp.concatenate(
+            [vals_e.ravel(), jnp.zeros(1, vals_e.dtype)]
+        )
+        return jnp.sum(vals[self._gather_map], axis=1)
 
     # ------------------------------------------------------------- gathers
     def gather(self, u):
-        """u (ndofs,) -> element dofs (ne, ndof_el)."""
-        return jnp.asarray(u)[self.dofmap]
+        """u (ndofs,) -> element dofs (ne, ndof_el); shifted-slice windows on
+        structured P1 grids (see :meth:`scatter_dofs`)."""
+        u = jnp.asarray(u)
+        nc = self.ncomp
+        if self._stencil is not None and len(self._stencil) == 2:
+            nx, ny = self._stencil
+            u2 = u.reshape(nx + 1, ny + 1, nc)
+            parts = [
+                u2[di : di + nx, dj : dj + ny].reshape(self.ne, nc)
+                for (di, dj) in self._CORNERS_2D
+            ]
+            return jnp.concatenate(parts, axis=1)
+        if self._stencil is not None:
+            nx, ny, nz = self._stencil
+            u3 = u.reshape(nx + 1, ny + 1, nz + 1, nc)
+            parts = [
+                u3[di : di + nx, dj : dj + ny, dk : dk + nz].reshape(self.ne, nc)
+                for (di, dj, dk) in self._CORNERS_3D
+            ]
+            return jnp.concatenate(parts, axis=1)
+        return u[self.dofmap]
 
     def _cell_eval(self, expr, u_e, dNdx_c, x_c):
         """expr at all qps of one cell given element dofs (ndof_el,)."""
@@ -148,10 +230,7 @@ class QuadratureDomain:
                 f_.reshape(self.ne, self.nq, -1) for f_ in fields
             ]
             r_e = jax.vmap(cell_res)(u_e, self.dNdx, self.x_q, self.wdetJ, *fields_e)
-            ndofs = self.space.num_dofs
-            return jnp.zeros(ndofs, r_e.dtype).at[self.dofmap.ravel()].add(
-                r_e.ravel()
-            )
+            return self.scatter_dofs(r_e)
 
         return jax.jit(f)
 
@@ -209,15 +288,86 @@ class QuadratureDomain:
         return jax.jit(f)
 
     # ------------------------------------------------------------ operators
+    def spmv_prepare(self, K_e):
+        """Pre-transpose element matrices for repeated :meth:`spmv` calls.
+
+        Stencil (structured-P1) domains store K feature-major as
+        (ndof_el*ndof_el, ne) rows — the (ne, nd, nd) layout pads its tiny
+        minor dims ~16x on TPU tiles and measured 6x slower per matvec
+        (docs/perf.md). One transpose per Newton iteration amortizes over the
+        ~100 CG matvecs that reuse it. General domains return K_e unchanged.
+        """
+        if self._stencil is None:
+            return K_e
+        nd = self.ndof_el
+        return ("fm", jnp.transpose(K_e, (1, 2, 0)).reshape(nd * nd, self.ne))
+
     def spmv(self, K_e, v):
-        """Assembly-free SpMV: y = A v from element matrices (gather-matmul-scatter)."""
-        v_e = jnp.asarray(v)[self.dofmap]  # (ne, ndof_el)
+        """Assembly-free SpMV: y = A v from element matrices (raw (ne, nd, nd)
+        or the output of :meth:`spmv_prepare`): stencil-slice gather ->
+        per-entry FMA rows (feature-major) or batched einsum -> stencil /
+        gather-map assembly. No scatter anywhere."""
+        v = jnp.asarray(v)
+        nd = self.ndof_el
+        if isinstance(K_e, tuple) and K_e[0] == "fm":
+            Kf = K_e[1]
+            vr = self._gather_rows(v)
+            yr = [
+                sum(Kf[i * nd + j] * vr[j] for j in range(nd))
+                for i in range(nd)
+            ]
+            return self._scatter_rows(yr, v.dtype)
+        v_e = v[self.dofmap]  # (ne, ndof_el)
         y_e = jnp.einsum("eij,ej->ei", K_e, v_e)
-        return jnp.zeros_like(jnp.asarray(v)).at[self.dofmap.ravel()].add(y_e.ravel())
+        return self.scatter_dofs(y_e).astype(v.dtype)
+
+    def _gather_rows(self, u):
+        """Stencil gather as a LIST of (ne,) rows (feature-major, no (ne, nd)
+        minor-dim padding)."""
+        nc = self.ncomp
+        if len(self._stencil) == 2:
+            nx, ny = self._stencil
+            u2 = u.reshape(nx + 1, ny + 1, nc)
+            return [
+                u2[di : di + nx, dj : dj + ny, c].reshape(self.ne)
+                for (di, dj) in self._CORNERS_2D
+                for c in range(nc)
+            ]
+        nx, ny, nz = self._stencil
+        u3 = u.reshape(nx + 1, ny + 1, nz + 1, nc)
+        return [
+            u3[di : di + nx, dj : dj + ny, dk : dk + nz, c].reshape(self.ne)
+            for (di, dj, dk) in self._CORNERS_3D
+            for c in range(nc)
+        ]
+
+    def _scatter_rows(self, rows, dtype):
+        nc = self.ncomp
+        if len(self._stencil) == 2:
+            nx, ny = self._stencil
+            y = jnp.zeros((nx + 1, ny + 1, nc), dtype)
+            i = 0
+            for (di, dj) in self._CORNERS_2D:
+                for c in range(nc):
+                    y = y.at[di : di + nx, dj : dj + ny, c].add(
+                        rows[i].reshape(nx, ny)
+                    )
+                    i += 1
+            return y.reshape(-1)
+        nx, ny, nz = self._stencil
+        y = jnp.zeros((nx + 1, ny + 1, nz + 1, nc), dtype)
+        i = 0
+        for (di, dj, dk) in self._CORNERS_3D:
+            for c in range(nc):
+                y = y.at[di : di + nx, dj : dj + ny, dk : dk + nz, c].add(
+                    rows[i].reshape(nx, ny, nz)
+                )
+                i += 1
+        return y.reshape(-1)
 
     def matrix_diagonal(self, K_e, ndofs):
         d_e = jnp.diagonal(K_e, axis1=1, axis2=2)
-        return jnp.zeros(ndofs, K_e.dtype).at[self.dofmap.ravel()].add(d_e.ravel())
+        return self.scatter_dofs(d_e)
 
     def matrix_node_blocks(self, K_e, nnodes):
         """Per-NODE (ncomp x ncomp) diagonal blocks of the assembled operator,

@@ -26,6 +26,12 @@ class Mesh:
     geom_degree: int = 1
     geom_points: np.ndarray | None = None
     geom_cells: np.ndarray | None = None
+    #: structured-grid metadata (nx, ny[, nz]) set by the structured
+    #: generators: node v = i*(ny+1)+j (2D) / (i*(ny+1)+j)*(nz+1)+k (3D),
+    #: cell e = i*ny+j / (i*ny+j)*nz+k. Enables stencil (shifted-slice)
+    #: gathers/assembly in QuadratureDomain — TPU scalar gathers are ~100x
+    #: slower than slices. None for unstructured/gmsh meshes.
+    grid: tuple | None = None
 
     def __post_init__(self):
         self.points = np.asarray(self.points, dtype=np.float64)
@@ -108,6 +114,7 @@ def curve_mesh(mesh: Mesh, transform):
         geom_degree=2,
         geom_points=np.asarray(transform(V2.node_coords)),
         geom_cells=V2.cell_nodes,
+        grid=mesh.grid,  # topology unchanged: stencil gathers stay valid
     )
     return curved
 
@@ -139,7 +146,7 @@ def create_rectangle(p0, p1, n, cell_type="quad"):
                 )
         quads = np.array(quads, dtype=np.int32)
     if cell_type == "quad":
-        return Mesh(points, quads, "quad")
+        return Mesh(points, quads, "quad", grid=(nx, ny))
     if cell_type == "triangle":
         tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], axis=0)
         return Mesh(points, tris, "triangle")
@@ -185,7 +192,7 @@ def create_box(p0, p1, n, cell_type="hexahedron"):
                     )
         hexes = np.array(hexes, dtype=np.int32)
     if cell_type == "hexahedron":
-        return Mesh(points, hexes, "hexahedron")
+        return Mesh(points, hexes, "hexahedron", grid=(nx, ny, nz))
     if cell_type == "tetrahedron":
         # Kuhn triangulation: 6 tets per hex, conforming across faces
         h = hexes

@@ -213,11 +213,18 @@ class NonlinearMaterialProblem:
             b = np.asarray(jnp.where(mask_j, 0.0, rhs))
             return jnp.asarray(spla.spsolve(A.tocsr(), b))
 
+        # feature-major pre-transposed operands on stencil domains: one
+        # transpose per Newton iteration vs ~100 CG matvecs that reuse it
+        Kprep = [
+            t["qmap"].domain.spmv_prepare(K_e)
+            for t, K_e in zip(self._terms, Kels)
+        ]
+
         def Av(v):
             v0 = jnp.where(mask_j, 0.0, v)
             y = jnp.zeros_like(v)
-            for t, K_e in zip(self._terms, Kels):
-                y = y + t["qmap"].domain.spmv(K_e, v0)
+            for t, K_p in zip(self._terms, Kprep):
+                y = y + t["qmap"].domain.spmv(K_p, v0)
             return jnp.where(mask_j, v, y)
 
         diag = jnp.zeros_like(rhs)

@@ -136,3 +136,40 @@ def test_j2_krylov_matches_lu():
         Stress, _, _ = uniaxial_tension_2D(mat, Exx, N=2, order=2, ksp_type=ksp)
         res[ksp] = Stress
     np.testing.assert_allclose(res["cg"], res["lu"], rtol=1e-7, atol=1e-6 * sig0)
+
+
+def test_stencil_assembly_matches_general_path():
+    """Structured-grid stencil gathers/assembly (shifted slices) must equal the
+    general dofmap gather / gather-map assembly exactly, 2D and 3D, and the
+    prepared feature-major SpMV must match the raw-layout SpMV."""
+    import jax.numpy as jnp
+
+    from dolfinx_materials_tpu.fem import create_box
+    from dolfinx_materials_tpu.fem.assembly import QuadratureDomain
+
+    rng = np.random.default_rng(0)
+    for mesh, shape in [
+        (create_unit_square(5, 4, "quad"), (2,)),
+        (create_box((0, 0, 0), (1, 1, 1), (3, 2, 4), "hexahedron"), (3,)),
+    ]:
+        V = FunctionSpace(mesh, 1, shape)
+        dom = QuadratureDomain(V, 2)
+        assert dom._stencil is not None
+        u = jnp.asarray(rng.standard_normal(V.num_dofs))
+        np.testing.assert_array_equal(
+            np.asarray(dom.gather(u)), np.asarray(u)[np.asarray(dom.dofmap)]
+        )
+        ve = jnp.asarray(rng.standard_normal((dom.ne, dom.ndof_el)))
+        vals = jnp.concatenate([ve.ravel(), jnp.zeros(1)])
+        s_general = jnp.sum(vals[dom._gather_map], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(dom.scatter_dofs(ve)), np.asarray(s_general), atol=1e-13
+        )
+        K_e = jnp.asarray(
+            rng.standard_normal((dom.ne, dom.ndof_el, dom.ndof_el))
+        )
+        y_raw = dom.spmv(K_e, u)
+        y_fm = dom.spmv(dom.spmv_prepare(K_e), u)
+        np.testing.assert_allclose(
+            np.asarray(y_fm), np.asarray(y_raw), rtol=1e-12, atol=1e-12
+        )
