@@ -84,6 +84,43 @@ def _facet_nodes(space: FunctionSpace, facet_verts):
     return np.concatenate([facet_verts, mids, centers], axis=1)
 
 
+def _facet_geom_nodes(mesh, facet_verts, fct):
+    """Geometry-node ids (into ``mesh.geom_points``) of each facet for degree-2
+    isoparametric meshes: vertices, facet-edge midpoints, and (quad facets)
+    the face-center node — matching the ReferenceElement(fct, 2) node order.
+    The geom layout comes from ``curve_mesh`` = the degree-2 FunctionSpace of
+    the straight mesh (fem/space.py): mids at nv + edge_id, hex face centers
+    at nv + nedges + face_id."""
+    nv = mesh.num_vertices
+    edge_verts, _ = mesh.edges()
+    elookup = {tuple(sorted(e)): i for i, e in enumerate(edge_verts.tolist())}
+    if fct == "interval":
+        edges_of_facet = [(0, 1)]
+    elif fct == "triangle":
+        edges_of_facet = [(0, 1), (1, 2), (2, 0)]
+    else:
+        edges_of_facet = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    mids = np.array(
+        [
+            [nv + elookup[tuple(sorted((f[a], f[b])))] for (a, b) in edges_of_facet]
+            for f in facet_verts.tolist()
+        ],
+        dtype=np.int32,
+    )
+    if fct != "quad":
+        return np.concatenate([facet_verts, mids], axis=1)
+    face_verts, _ = mesh.faces()
+    flookup = {
+        tuple(fv): i for i, fv in enumerate(np.sort(face_verts, axis=1).tolist())
+    }
+    ne = len(edge_verts)
+    centers = np.array(
+        [[nv + ne + flookup[tuple(sorted(f))]] for f in facet_verts.tolist()],
+        dtype=np.int32,
+    )
+    return np.concatenate([facet_verts, mids, centers], axis=1)
+
+
 def assemble_traction(space: FunctionSpace, where, value, quad_degree=4):
     """Assemble the surface-load vector F_i = ∫_{Γ} t · v_i ds over the boundary
     facets whose MIDPOINT satisfies ``where(coords (nf, dim)) -> bool``.
@@ -100,11 +137,16 @@ def assemble_traction(space: FunctionSpace, where, value, quad_degree=4):
         raise ValueError("no boundary facets selected")
 
     fct = _facet_cell_type(mesh)
-    # geometry is P1 on the facet; basis is the trace of the space's element
-    geo = ReferenceElement(fct, 1, quad_degree)
+    # facet geometry: P1 chords on straight meshes, the degree-2 trace of the
+    # isoparametric geometry on curved meshes (mesh.geom_degree == 2) — keeps
+    # surface loads consistent with the curved volume integration
+    geo = ReferenceElement(fct, mesh.geom_degree, quad_degree)
     elem = ReferenceElement(fct, space.degree, quad_degree)
 
-    coords = mesh.points[fverts]  # (nf, nfv, dim)
+    if mesh.geom_degree == 2:
+        coords = mesh.geom_points[_facet_geom_nodes(mesh, fverts, fct)]
+    else:
+        coords = mesh.points[fverts]  # (nf, nfv, dim)
     # facet Jacobian dx/dxi: (nf, nq, dim, dimf); area element = sqrt(det(J^T J))
     J = np.einsum("fvi,qvj->fqij", coords, geo.dN)
     G = np.einsum("fqij,fqik->fqjk", J, J)

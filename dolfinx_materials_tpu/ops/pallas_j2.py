@@ -20,7 +20,7 @@ Two kernels:
   point (drop-in for Material.integrate; 248 B/point traffic).
 - :func:`make_j2_pallas_factored`: emits the tangent in closed factored form
   ``Ct = C - b2m*K4 - gamma*nbar^T nbar`` as two scalar rows (b2m, gamma) plus
-  nbar reconstructible from the returned stress (nbar = 1.5*dev(sig)/q(sig) —
+  nbar reconstructible from the returned stress (nbar = dev(sig)/q_vm(sig) —
   the return map preserves the deviatoric direction). 112 B/point: the
   measured I/O ceiling doubles (~3.2e9 GP/s on v5e). Consumers that assemble
   K_e = B^T Ct B apply the three terms directly without ever materializing Ct.

@@ -157,8 +157,26 @@ def make_sharded_newton_step(
     tables = (jnp.asarray(dNdx), jnp.asarray(wdetJ), jnp.asarray(x_q),
               jnp.asarray(dofmap))
 
+    init_tpl = behavior.init_state()  # per-point template pytree
+
     def pad_state(state):
-        return jax.tree.map(lambda a: pad_to_multiple(a, ndev * nq)[0], state)
+        """Pad the point axis to a shard multiple with the behavior's
+        INIT-STATE values, not zeros: identity-initialized ISVs (FeFp
+        be/F_prev) would otherwise make padded points compute inv33(0) ->
+        inf, and 0 * inf = NaN survives the zero-weight masking of padded
+        cells, poisoning the residual norm."""
+
+        def pad_leaf(a, tpl):
+            a = jnp.asarray(a)
+            pad = (-a.shape[0]) % (ndev * nq)
+            if pad == 0:
+                return a
+            fill = jnp.broadcast_to(
+                jnp.asarray(tpl, a.dtype), (pad,) + a.shape[1:]
+            )
+            return jnp.concatenate([a, fill])
+
+        return jax.tree.map(pad_leaf, state, init_tpl)
 
     from ..fem.forms import Ctx
 

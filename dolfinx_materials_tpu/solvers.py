@@ -412,13 +412,17 @@ class NonlinearMaterialProblem:
                             break
                         alpha *= 0.5
                     if best_alpha is None or best_n >= norm:
+                        # the line-search trials overwrote s1 with REJECTED
+                        # trial states; restore the state of the u we keep
+                        # before any exit that might commit (advance) it
+                        self._constitutive_update_flux_only(u_arr)
+                        self.iterations = it
                         # stagnation at the dtype's residual-assembly noise
                         # floor IS convergence: f32 sums of nearly-cancelling
                         # element contributions bottom out around
                         # sqrt(eps)·|R0| and no step can reduce them further
                         if norm < np.sqrt(eps_dtype) * norm0:
                             self.converged = True
-                            self.iterations = it
                             if self.verbose:
                                 print(
                                     "  converged at the dtype noise floor "
@@ -430,6 +434,10 @@ class NonlinearMaterialProblem:
                             print("  line search stagnated; aborting Newton")
                         break
                     u_arr = u_arr + best_alpha * du
+                    # align s1 with the ACCEPTED trial (the loop above may
+                    # have evaluated a smaller alpha last)
+                    if best_n != n_try:
+                        self._constitutive_update_flux_only(u_arr)
                 else:
                     u_arr = u_arr + du
 
@@ -686,13 +694,11 @@ class BlockedNonlinearProblem:
         for c, K in zip(self._couplings, coup_Ks):
             row_dom = c["qmap"].domain
             col_dom = c["col_dom"]
-            v_e = parts_v[c["col"]][col_dom.dofmap]  # (ne, ndof_col)
+            v_e = col_dom.gather(parts_v[c["col"]])  # (ne, ndof_col)
             y_e = jnp.einsum("eij,ej->ei", K, v_e)
-            ys[c["row"]] = (
-                ys[c["row"]]
-                .at[row_dom.dofmap.ravel()]
-                .add(y_e.ravel())
-            )
+            # scatter-free assembly (gather-map / stencil), same semantics as
+            # .at[dofmap].add but ~regular-memory-speed on TPU (docs/perf.md)
+            ys[c["row"]] = ys[c["row"]] + row_dom.scatter_dofs(y_e)
         for itf, Ks in zip(self.interfaces, coup_Ks[len(self._couplings):]):
             K_ii, K_ij, K_ji, K_jj = Ks
             d_i, d_j = itf.scatter_dofs()
@@ -713,7 +719,6 @@ class BlockedNonlinearProblem:
             import scipy.sparse as sp
             import scipy.sparse.linalg as spla
 
-            blocks = sp.lil_matrix((self.ndofs, self.ndofs))
             A = sp.coo_matrix((self.ndofs, self.ndofs)).tocsr()
             for i, p in enumerate(self.problems):
                 for t, K_e in zip(p._terms, diag_Kels[i]):
@@ -857,11 +862,16 @@ class BlockedNonlinearProblem:
                         break
                     alpha *= 0.5
                 if best_alpha is None or best_n >= norm:
+                    # restore s1 to the kept z (trials overwrote it) before
+                    # any exit that might commit
+                    self._constitutive_update(self._split(z), flux_only=True)
+                    self.iterations = it
                     if norm < np.sqrt(eps_dtype) * norm0:
                         self.converged = True
-                        self.iterations = it
                     break
                 z = z + best_alpha * du
+                if best_n != n_try:
+                    self._constitutive_update(self._split(z), flux_only=True)
             else:
                 z = z + du
 

@@ -140,9 +140,9 @@ def test_curved_lame_cylinder_stress():
     qmap = QuadratureMap(V, 4, mat)
     qmap.register_gradient("Strain", mandel_strain_2d())
     u = Function(V)
-    # inner-pressure traction: t = p * n, n = -x/|x| on r = Ri (curved facets
-    # keep P1 facet geometry — the traction is applied on the chords, a ~1e-3
-    # geometric consistency error at this resolution)
+    # inner-pressure traction: t = p * n on r = Ri; curved meshes integrate
+    # the surface load on the degree-2 facet trace too (resultant exact to
+    # ~5e-6 where P1 chords were ~3e-3)
     F = assemble_traction(
         V,
         lambda x: np.linalg.norm(x, axis=1) < Ri + 0.02,
@@ -169,3 +169,19 @@ def test_curved_lame_cylinder_stress():
     sig_tt_exact = p * Ri**2 / (Re**2 - Ri**2) * (1 + Re**2 / r_q[inner] ** 2)
     err = np.abs(sig_tt[inner] - sig_tt_exact) / np.abs(sig_tt_exact)
     assert err.max() < 5e-3, err.max()
+
+
+def test_curved_facet_traction_resultant():
+    """Pressure on the curved inner boundary: the resultant of p*n over the
+    quarter circle is exactly p*Ri*(1,1); degree-2 facet geometry must beat
+    the P1 chords by orders of magnitude."""
+    p, Ri = 10.0, 1.0
+    cm = quarter_annulus(6, 2)
+    V = FunctionSpace(cm, degree=2, shape=(2,))
+    F = assemble_traction(
+        V,
+        lambda x: np.linalg.norm(x, axis=1) < Ri + 0.02,
+        lambda x: p * x / np.linalg.norm(x, axis=1, keepdims=True),
+    )
+    R = F.reshape(-1, 2).sum(axis=0)
+    np.testing.assert_allclose(R, p * Ri, rtol=2e-5)
