@@ -149,6 +149,14 @@ def make_sharded_newton_step(
     ndofs = qmap.space.num_dofs
     nd_p = ndofs + ((-ndofs) % ndev) if shard_dofs else ndofs
 
+    # --- stencil fast path (structured P1 grids) -------------------------
+    # per-CG-matvec dof gathers/scatter-adds are TPU scalar ops ~300x off the
+    # memory roofline (docs/perf.md "Assembly-free SpMV"). On structured grids
+    # every device instead runs the FULL-grid shifted-slice gather/scatter
+    # (redundant across shards but memory-speed) while the expensive
+    # per-element work stays sharded. None -> general dofmap path (gmsh).
+    stencil = getattr(dom, "_stencil", None)
+
     # --- shard-ready (padded) tables -------------------------------------
     dNdx, ne_real = pad_to_multiple(np.asarray(dom.dNdx), ndev)
     wdetJ, _ = pad_to_multiple(np.asarray(dom.wdetJ), ndev)  # padded cells: w=0
@@ -186,9 +194,8 @@ def make_sharded_newton_step(
         g_q = jnp.einsum("qvi,vc->qci", d, un)
         return jax.vmap(lambda u_, g_, x_: expr(Ctx(u_, g_, x_)))(u_q, g_q, x)
 
-    def local_kernels(u_full, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt):
+    def local_kernels(u_e, dNdx_l, wdetJ_l, x_q_l, state_l, dt):
         """Per-device: material update + element residual/matrices on local cells."""
-        u_e = u_full[dofmap_l]  # (ne_l, ndof_el)
         grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)  # (ne_l, nq, size)
         gsize = grads.shape[-1]
         x_flat = grads.reshape(-1, gsize)
@@ -221,6 +228,77 @@ def make_sharded_newton_step(
         K_e = jax.vmap(cell_K)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e, C_e)
         return r_e, K_e, new_state
 
+    ne_pad = dNdx.shape[0]
+    ne_local = ne_pad // ndev
+    ne_cells = dom.ne
+    ndof_el = nloc * ncomp
+    if stencil is not None:
+        corners = (
+            dom._CORNERS_2D if len(stencil) == 2 else dom._CORNERS_3D
+        )
+        grid_shape = tuple(g + 1 for g in stencil) + (ncomp,)
+
+    def shard_index():
+        if isinstance(axis, tuple):
+            s = jax.lax.axis_index(axis[0])
+            for a in axis[1:]:
+                s = s * mesh.shape[a] + jax.lax.axis_index(a)
+            return s
+        return jax.lax.axis_index(axis)
+
+    def stencil_gather_local(u_full):
+        """(ndofs,) -> this shard's (ne_local, ndof_el) element dofs via
+        full-grid shifted slices + one dynamic slice."""
+        u2 = u_full[:ndofs].reshape(grid_shape)
+        if len(stencil) == 2:
+            nx, ny = stencil
+            parts = [
+                u2[di : di + nx, dj : dj + ny].reshape(ne_cells, ncomp)
+                for (di, dj) in corners
+            ]
+        else:
+            nx, ny, nz = stencil
+            parts = [
+                u2[di : di + nx, dj : dj + ny, dk : dk + nz].reshape(
+                    ne_cells, ncomp
+                )
+                for (di, dj, dk) in corners
+            ]
+        ue = jnp.concatenate(parts, axis=1)  # (ne_cells, ndof_el)
+        if ne_pad != ne_cells:
+            ue = jnp.concatenate(
+                [ue, jnp.zeros((ne_pad - ne_cells, ndof_el), ue.dtype)]
+            )
+        return jax.lax.dynamic_slice_in_dim(
+            ue, (shard_index() * ne_local).astype(jnp.int32), ne_local
+        )
+
+    def stencil_scatter_partial(vals_e, dtype):
+        """This shard's (ne_local, ndof_el) element values -> its PARTIAL
+        (ndofs,) assembled vector via slice-adds (caller psums)."""
+        all_vals = jnp.zeros((ne_pad, ndof_el), dtype)
+        start = (shard_index() * ne_local).astype(jnp.int32)
+        all_vals = jax.lax.dynamic_update_slice(
+            all_vals, vals_e.astype(dtype), (start, jnp.int32(0))
+        )
+        v = all_vals[:ne_cells].reshape(
+            (ne_cells, nloc, ncomp)
+        )
+        y = jnp.zeros(grid_shape, dtype)
+        if len(stencil) == 2:
+            nx, ny = stencil
+            vv = v.reshape(nx, ny, nloc, ncomp)
+            for k, (di, dj) in enumerate(corners):
+                y = y.at[di : di + nx, dj : dj + ny].add(vv[:, :, k])
+        else:
+            nx, ny, nz = stencil
+            vv = v.reshape(nx, ny, nz, nloc, ncomp)
+            for k, (di, dj, dk) in enumerate(corners):
+                y = y.at[di : di + nx, dj : dj + ny, dk : dk + nz].add(
+                    vv[:, :, :, k]
+                )
+        return y.reshape(-1)
+
     u_spec = P(axis) if shard_dofs else P()
 
     @partial(
@@ -232,16 +310,34 @@ def make_sharded_newton_step(
     )
     def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, bc_mask, bc_vals, dt):
         # --- dof-layout helpers ------------------------------------------
+        def gather_cells(u_full):
+            """Full dof vector -> this shard's (ne_l, ndof_el) element dofs:
+            shifted-slice stencil on structured grids, dofmap gather otherwise
+            (scalar gathers, ~300x off roofline — docs/perf.md)."""
+            if stencil is not None:
+                return stencil_gather_local(u_full)
+            return u_full[dofmap_l]
+
+        def partial_assemble(vals_e, dtype, size):
+            if stencil is not None:
+                part = stencil_scatter_partial(vals_e, dtype)
+                if size != ndofs:
+                    part = jnp.concatenate(
+                        [part, jnp.zeros(size - ndofs, dtype)]
+                    )
+                return part
+            return jnp.zeros(size, dtype).at[dofmap_l.ravel()].add(vals_e.ravel())
+
         if shard_dofs:
             def gather_full(v):
                 return jax.lax.all_gather(v, axis, axis=0, tiled=True)
 
             def assemble(vals_e, dtype):
-                partial_sum = (
-                    jnp.zeros(nd_p, dtype).at[dofmap_l.ravel()].add(vals_e.ravel())
-                )
                 return jax.lax.psum_scatter(
-                    partial_sum, axis, scatter_dimension=0, tiled=True
+                    partial_assemble(vals_e, dtype, nd_p),
+                    axis,
+                    scatter_dimension=0,
+                    tiled=True,
                 )
 
             def vdot(a, b):
@@ -251,10 +347,7 @@ def make_sharded_newton_step(
                 return v
 
             def assemble(vals_e, dtype):
-                return jax.lax.psum(
-                    jnp.zeros(ndofs, dtype).at[dofmap_l.ravel()].add(vals_e.ravel()),
-                    axis,
-                )
+                return jax.lax.psum(partial_assemble(vals_e, dtype, ndofs), axis)
 
             def vdot(a, b):
                 return jnp.vdot(a, b)
@@ -266,8 +359,7 @@ def make_sharded_newton_step(
 
         def residual_norm(u_try):
             """Flux-only residual norm (line-search trials; no tangent work)."""
-            u_full = gather_full(u_try)
-            u_e = u_full[dofmap_l]
+            u_e = gather_cells(gather_full(u_try))
             grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)
             flux, _ = jax.vmap(lambda xi, si: point_flux(xi, si, dt))(
                 grads.reshape(-1, grads.shape[-1]), state_l
@@ -292,7 +384,9 @@ def make_sharded_newton_step(
 
             def Av(v):
                 v0 = jnp.where(bc_mask, 0.0, v)
-                y_e = jnp.einsum("eij,ej->ei", K_e, gather_full(v0)[dofmap_l])
+                y_e = jnp.einsum(
+                    "eij,ej->ei", K_e, gather_cells(gather_full(v0))
+                )
                 y = assemble(y_e, v.dtype)
                 return jnp.where(bc_mask, v, y)
 
@@ -341,7 +435,7 @@ def make_sharded_newton_step(
         def newton_body(carry):
             u, res0, _, it = carry
             r_e, K_e, _ = local_kernels(
-                gather_full(u), dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt
+                gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l, state_l, dt
             )
             R = jnp.where(bc_mask, 0.0, assemble(r_e, u.dtype))
             res = norm(R)
@@ -368,7 +462,7 @@ def make_sharded_newton_step(
         # one final constitutive evaluation so the returned state matches the
         # returned u (the reference's advance() commits the LAST update's s1)
         r_e, _, new_state = local_kernels(
-            gather_full(u), dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, dt
+            gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l, state_l, dt
         )
         res_norm = norm(jnp.where(bc_mask, 0.0, assemble(r_e, u.dtype)))
         return u, new_state, res_norm
