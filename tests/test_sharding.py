@@ -237,3 +237,65 @@ def test_sharded_newton_step_two_axis_mesh():
             u_out = np.asarray(u_sh)
         assert float(res_norm) < 1e-8 * E, shard_dofs
         np.testing.assert_allclose(u_out, u1.x, rtol=1e-6, atol=1e-10)
+
+
+def test_sharded_newton_step_fefp_finite_strain():
+    """The fused step drives the FINITE-STRAIN FeFp material (identity-
+    initialized be/F_prev ISVs: exercises init-state padding — zeros would
+    NaN via inv33(0)) and matches the host solver."""
+    from dolfinx_materials_tpu.fem.forms import deformation_gradient_2d
+    from dolfinx_materials_tpu.models import FeFpJ2Plasticity
+
+    def make_fefp():
+        return Material(
+            FeFpJ2Plasticity(
+                LinearElasticIsotropic(E, nu), VoceHardening(sig0, 500.0, 1e2)
+            )
+        )
+
+    cmesh = device_mesh(8)
+    mesh = create_unit_square(5, 5, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 2 * sig0 / E
+
+    def build(mat):
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("F", deformation_gradient_2d())
+        left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+        bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+        right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+        return qmap, [
+            DirichletBC(left, 0.0),
+            DirichletBC(bottom, 0.0),
+            DirichletBC(right, exx),
+        ]
+
+    mat1 = make_fefp()
+    qmap1, bcs = build(mat1)
+    u1 = Function(V)
+    prob = NonlinearMaterialProblem(qmap1, u1, bcs=bcs, options={"ksp_type": "lu"})
+    converged, _ = prob.solve()
+    assert converged
+
+    mat2 = make_fefp()
+    qmap2, bcs2 = build(mat2)
+    prob2 = NonlinearMaterialProblem(qmap2, Function(V), bcs=bcs2)
+    step, pad_state = make_sharded_newton_step(
+        qmap2, prob2, cmesh, n_newton=14, n_cg=200
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, new_state, res_norm = step(
+        jnp.zeros(V.num_dofs),
+        pad_state(mat2.data_manager.s0.internal),
+        mask,
+        vals,
+        0.0,
+    )
+    assert np.isfinite(float(res_norm)), "NaN residual: padding regression"
+    assert float(res_norm) < 1e-7 * E
+    np.testing.assert_allclose(np.asarray(u_sh), u1.x, rtol=1e-5, atol=1e-9)
+    npts = qmap2.num_points
+    p_sh = np.asarray(new_state["p"])[:npts]
+    p_ref = np.asarray(mat1.data_manager.s0["p"]).ravel()
+    np.testing.assert_allclose(p_sh, p_ref, rtol=1e-5, atol=1e-10)
+    assert p_ref.max() > 1e-4
