@@ -194,14 +194,23 @@ def make_sharded_newton_step(
         g_q = jnp.einsum("qvi,vc->qci", d, un)
         return jax.vmap(lambda u_, g_, x_: expr(Ctx(u_, g_, x_)))(u_q, g_q, x)
 
+    fast_update = material._fast_update  # whole-batch fast path (J2 analytic,
+    fast_flux = material._fast_flux      # FeFp/crystal feature-major) or None
+
     def local_kernels(u_e, dNdx_l, wdetJ_l, x_q_l, state_l, dt):
-        """Per-device: material update + element residual/matrices on local cells."""
+        """Per-device: material update + element residual/matrices on local
+        cells — through the behavior's whole-batch fast path when it has one
+        (the same dispatch Material.integrate uses)."""
         grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)  # (ne_l, nq, size)
         gsize = grads.shape[-1]
         x_flat = grads.reshape(-1, gsize)
-        flux, Ct, new_state = jax.vmap(
-            lambda xi, si: point_update(xi, {}, si, dt)
-        )(x_flat, state_l)
+        if fast_update is not None:
+            flux, Ct, new_state = fast_update(x_flat, state_l, dt)
+            Ct = Ct.reshape(x_flat.shape[0], gsize, gsize)
+        else:
+            flux, Ct, new_state = jax.vmap(
+                lambda xi, si: point_update(xi, {}, si, dt)
+            )(x_flat, state_l)
         ne_l = u_e.shape[0]
         flux_e = flux.reshape(ne_l, nq, -1)
         C_e = Ct.reshape(ne_l, nq, gsize, gsize)
@@ -361,9 +370,15 @@ def make_sharded_newton_step(
             """Flux-only residual norm (line-search trials; no tangent work)."""
             u_e = gather_cells(gather_full(u_try))
             grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)
-            flux, _ = jax.vmap(lambda xi, si: point_flux(xi, si, dt))(
-                grads.reshape(-1, grads.shape[-1]), state_l
-            )
+            x_flat = grads.reshape(-1, grads.shape[-1])
+            if fast_flux is not None:
+                flux, _ = fast_flux(x_flat, state_l, dt)
+            elif fast_update is not None:
+                flux, _, _ = fast_update(x_flat, state_l, dt)
+            else:
+                flux, _ = jax.vmap(lambda xi, si: point_flux(xi, si, dt))(
+                    x_flat, state_l
+                )
             flux_e = flux.reshape(u_e.shape[0], nq, -1)
 
             def cell_r(ue, d, x, w, fl):
