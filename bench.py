@@ -25,8 +25,22 @@ BASELINE_GP_PER_S = 1e8
 
 
 def main():
+    import os
     import jax
+
+    # persistent compile cache: the driver's end-of-round run (a fresh
+    # process) reuses every kernel compiled here before; also guards against
+    # slow remote-compile days
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
+
+    t_bench_start = time.perf_counter()
 
     from dolfinx_materials_tpu.models import (
         LinearElasticIsotropic,
@@ -144,7 +158,15 @@ def main():
         return n_pts * (K2 - K1) / (t(K2) - t(K1))
 
     extras = {}
+
+    def over_budget():
+        # leave headroom for the driver's own timeout: skip remaining extras
+        # once the run has consumed 8 minutes (headline already measured)
+        return time.perf_counter() - t_bench_start > 480.0
+
     try:
+        if over_budget():
+            raise TimeoutError
         from dolfinx_materials_tpu.models import FeFpJ2Plasticity
         from dolfinx_materials_tpu.ops import tensors as _tn
 
@@ -172,6 +194,8 @@ def main():
         extras["fefp_gp_per_s"] = f"failed: {type(e).__name__}"
 
     try:
+        if over_budget():
+            raise TimeoutError
         from dolfinx_materials_tpu.models import MericCailletaudCrystalPlasticity
         from dolfinx_materials_tpu.material import Material as _Mat
 
@@ -196,6 +220,62 @@ def main():
         extras["crystal_gp_per_s"] = f"failed: {type(e).__name__}"
 
     try:
+        if over_budget():
+            raise TimeoutError
+        # fused FEM load step (6 Newton x 150 CG, 64x64 J2 plate) — the
+        # one-XLA-program global-solve datapoint (docs/perf.md)
+        from dolfinx_materials_tpu import (
+            Material as _M2,
+            NonlinearMaterialProblem as _NMP,
+            QuadratureMap as _QM,
+        )
+        from dolfinx_materials_tpu.fem import (
+            DirichletBC as _BC,
+            Function as _Fn,
+            FunctionSpace as _FS,
+            create_unit_square as _sq,
+            locate_dofs_geometrical as _loc,
+        )
+        from dolfinx_materials_tpu.fem.bc import combine_bcs as _cbc
+        from dolfinx_materials_tpu.fem.forms import mandel_strain_2d as _ms2
+        from dolfinx_materials_tpu.parallel import (
+            device_mesh as _dm,
+            make_sharded_newton_step as _mkstep,
+        )
+
+        _mat = _M2(
+            __import__(
+                "dolfinx_materials_tpu.models", fromlist=["x"]
+            ).vonMisesIsotropicHardening(el, hard)
+        )
+        _mesh = _sq(64, 64, "quad")
+        _V = _FS(_mesh, 1, (2,))
+        _qm = _QM(_V, 2, _mat)
+        _qm.register_gradient("Strain", _ms2())
+        _l = _loc(_V, lambda x: np.isclose(x[:, 0], 0), 0)
+        _b = _loc(_V, lambda x: np.isclose(x[:, 1], 0), 1)
+        _r = _loc(_V, lambda x: np.isclose(x[:, 0], 1), 0)
+        _bcs = [_BC(_l, 0.0), _BC(_b, 0.0), _BC(_r, 2 * 350.0 / 70e3)]
+        _prob = _NMP(_qm, _Fn(_V), bcs=_bcs)
+        _step, _pad = _mkstep(_qm, _prob, _dm(1), n_newton=6, n_cg=150)
+        _mask, _vals = _cbc(_bcs, _V.num_dofs)
+        _st0 = _pad(_mat.data_manager.s0.internal)
+        _u0 = jnp.zeros(_V.num_dofs, jnp.float32)
+        _u, _, _ = _step(_u0, _st0, _mask, _vals, 0.0)
+        float(jnp.sum(_u))
+        _best = np.inf
+        for _ in range(4):
+            _t0 = time.perf_counter()
+            _u, _, _ = _step(_u0, _st0, _mask, _vals, 0.0)
+            float(jnp.sum(_u))
+            _best = min(_best, time.perf_counter() - _t0)
+        extras["fused_step_64x64_ms"] = float(_best * 1e3)
+    except Exception as e:  # pragma: no cover
+        extras["fused_step_64x64_ms"] = f"failed: {type(e).__name__}"
+
+    try:
+        if over_budget():
+            raise TimeoutError
         from dolfinx_materials_tpu.models import Ogden
 
         og = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
