@@ -74,3 +74,37 @@ def test_adaptive_cutback_succeeds_where_single_step_fails():
     for label in ["qmap: material integration", "solver: Newton solve"]:
         count, total = timing(label)
         assert count > 0 and total > 0
+
+
+def test_adaptive_cutback_fefp_envelope_guard():
+    """FeFp with an oversized first load step: wild Newton trials can leave the
+    batched fast path's Gregory-series envelope (NaN-poisoned by design) — the
+    line search + adaptive cutback must recover and finish."""
+    from dolfinx_materials_tpu.fem.forms import deformation_gradient_2d
+    from dolfinx_materials_tpu.models import FeFpJ2Plasticity
+
+    mesh = create_unit_square(3, 3, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    mat = Material(
+        FeFpJ2Plasticity(
+            LinearElasticIsotropic(E, 0.3), VoceHardening(sig0, 500.0, 1e2)
+        )
+    )
+    assert mat._fast_update is not None
+    qmap = QuadratureMap(V, 2, mat)
+    qmap.register_gradient("F", deformation_gradient_2d())
+    left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+    bc = DirichletBC(right, 0.0)
+    problem = NonlinearMaterialProblem(
+        qmap,
+        Function(V),
+        bcs=[DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), bc],
+        options={"ksp_type": "lu", "max_it": 8},
+    )
+    # 12% stretch in (at most) a couple of adaptive steps: far past yield
+    accepted = solve_adaptive(problem, bc.set, 0.12, nsteps0=2)
+    assert len(accepted) >= 2 and np.isclose(accepted[-1], 0.12)
+    p = np.asarray(mat.data_manager.s0["p"])
+    assert p.max() > 0.02 and np.isfinite(p).all()
