@@ -97,6 +97,8 @@ def make_sharded_newton_step(
     rtol=None,
     atol=0.0,
     shard_dofs=False,
+    pc="two_level",
+    pc_boxes=8,
 ):
     """Build a fully-fused, sharded Newton load step for a single-material
     mechanics problem (one registered gradient, default flux.dgrad residual).
@@ -117,6 +119,14 @@ def make_sharded_newton_step(
     psum_scatter / psum) names both axes, which XLA lowers hierarchically so
     the wide dof traffic rides ICI within a host-group and only the reduced
     stage crosses DCN. Validated on a virtual 2 x 4 mesh (tests/test_sharding.py).
+
+    Preconditioning: on structured grids ``pc="two_level"`` (default) adds a
+    FROZEN two-level correction to the Jacobi-CG — the coarse operator
+    P^T K(u0) P over ``pc_boxes``-per-axis node boxes is assembled and
+    LU-factored ONCE per step from the entering tangent, and the structured
+    restriction/prolongation are pure reshape-reduces (no gathers). Cuts the
+    CG iterations needed for stiff/elongated meshes by ~4-10x (docs/perf.md
+    "Krylov preconditioning"); ``pc="jacobi"`` restores the plain smoother.
 
     Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
     (u, R, CG workspace, bc arrays) are SHARDED over the mesh axis instead of
@@ -163,7 +173,7 @@ def make_sharded_newton_step(
     x_q, _ = pad_to_multiple(np.asarray(dom.x_q), ndev)
     dofmap, _ = pad_to_multiple(np.asarray(dom.dofmap), ndev)  # pad -> dof 0, w=0 ok
     tables = (jnp.asarray(dNdx), jnp.asarray(wdetJ), jnp.asarray(x_q),
-              jnp.asarray(dofmap))
+              jnp.asarray(dofmap))  # + cdof table appended after coarse setup
 
     init_tpl = behavior.init_state()  # per-point template pytree
 
@@ -308,16 +318,75 @@ def make_sharded_newton_step(
                 )
         return y.reshape(-1)
 
+    # --- frozen two-level coarse space (structured grids only) ------------
+    two_level = pc == "two_level" and stencil is not None
+    if two_level:
+        nodes_per_axis = tuple(g + 1 for g in stencil)
+        nb = tuple(min(pc_boxes, na) for na in nodes_per_axis)
+        bsz = tuple(-(-na // b) for na, b in zip(nodes_per_axis, nb))  # ceil
+        gpad = tuple(b * s - na for na, b, s in zip(nodes_per_axis, nb, bsz))
+        nagg = int(np.prod(nb))
+        ncoarse = nagg * ncomp
+        # coarse dof of every global dof (host): node (i,j[,k]) -> box
+        node_idx = np.indices(nodes_per_axis).reshape(len(stencil), -1)
+        box = 0
+        for d in range(len(stencil)):
+            box = box * nb[d] + np.minimum(node_idx[d] // bsz[d], nb[d] - 1)
+        cdof_of_dof = (
+            box[:, None] * ncomp + np.arange(ncomp)[None, :]
+        ).reshape(-1)
+        dofmap_host = np.asarray(dofmap)  # (ne_pad, ndof_el), pads -> dof 0
+        cdof_table = jnp.asarray(
+            cdof_of_dof[dofmap_host].astype(np.int32)
+        )  # (ne_pad, ndof_el)
+    else:
+        ncoarse = 1
+        cdof_table = jnp.zeros_like(jnp.asarray(dofmap))
+
+    def restrict_full(r_full):
+        """(>= ndofs,) replicated residual -> (ncoarse,) box sums —
+        reshape-reduce, no gathers."""
+        g = r_full[:ndofs].reshape(nodes_per_axis + (ncomp,))
+        g = jnp.pad(g, [(0, p) for p in gpad] + [(0, 0)])
+        if len(stencil) == 2:
+            rc = g.reshape(nb[0], bsz[0], nb[1], bsz[1], ncomp).sum(axis=(1, 3))
+        else:
+            rc = g.reshape(
+                nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp
+            ).sum(axis=(1, 3, 5))
+        return rc.reshape(-1)
+
+    def prolong_full(wc):
+        """(ncoarse,) -> (ndofs,) piecewise-constant prolongation."""
+        if len(stencil) == 2:
+            g = jnp.broadcast_to(
+                wc.reshape(nb[0], 1, nb[1], 1, ncomp),
+                (nb[0], bsz[0], nb[1], bsz[1], ncomp),
+            ).reshape(nb[0] * bsz[0], nb[1] * bsz[1], ncomp)
+            g = g[: nodes_per_axis[0], : nodes_per_axis[1]]
+        else:
+            g = jnp.broadcast_to(
+                wc.reshape(nb[0], 1, nb[1], 1, nb[2], 1, ncomp),
+                (nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp),
+            ).reshape(
+                nb[0] * bsz[0], nb[1] * bsz[1], nb[2] * bsz[2], ncomp
+            )
+            g = g[: nodes_per_axis[0], : nodes_per_axis[1], : nodes_per_axis[2]]
+        return g.reshape(-1)
+
+    tables = tables + (cdof_table,)
+
     u_spec = P(axis) if shard_dofs else P()
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(u_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
+        in_specs=(u_spec, P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   u_spec, u_spec, P()),
         out_specs=(u_spec, P(axis), P()),
     )
-    def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, state_l, bc_mask, bc_vals, dt):
+    def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, cdof_l, state_l, bc_mask,
+              bc_vals, dt):
         # --- dof-layout helpers ------------------------------------------
         def gather_cells(u_full):
             """Full dof vector -> this shard's (ne_l, ndof_el) element dofs:
@@ -366,6 +435,57 @@ def make_sharded_newton_step(
 
         u = jnp.where(bc_mask, bc_vals, u)
 
+        # --- frozen two-level coarse factor from the ENTERING tangent -----
+        if two_level:
+            _, K_e0, _ = local_kernels(
+                gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l,
+                state_l, dt,
+            )
+            # bc weights per local dof (scalar gather, once per step)
+            w_l = jnp.where(
+                gather_full(bc_mask.astype(K_e0.dtype))[dofmap_l] > 0.5, 0.0, 1.0
+            )
+            Kw = K_e0 * w_l[:, :, None] * w_l[:, None, :]
+            idx = (
+                cdof_l[:, :, None] * ncoarse + cdof_l[:, None, :]
+            ).ravel()
+            Ac = jax.lax.psum(
+                jnp.zeros(ncoarse * ncoarse, K_e0.dtype)
+                .at[idx]
+                .add(Kw.ravel()),
+                axis,
+            ).reshape(ncoarse, ncoarse)
+            dAc = jnp.diagonal(Ac)
+            ridge = 1e-8 * jnp.max(jnp.abs(dAc)) + 1e-30
+            Ac = Ac + (
+                ridge + jnp.where(jnp.abs(dAc) < ridge, 1.0, 0.0)
+            ) * jnp.eye(ncoarse, dtype=K_e0.dtype)
+            # dense INVERSE, not an LU factor: triangular solves are
+            # sequential (~ms latency each on TPU); the coarse apply must be
+            # one (ncoarse, ncoarse) matmul per CG iteration
+            Ac_inv = jnp.linalg.inv(Ac)
+
+            def shard_back(full):
+                if shard_dofs:
+                    if nd_p != ndofs:
+                        full = jnp.concatenate(
+                            [full, jnp.zeros(nd_p - ndofs, full.dtype)]
+                        )
+                    loc = nd_p // ndev
+                    return jax.lax.dynamic_slice_in_dim(
+                        full, (shard_index() * loc).astype(jnp.int32), loc
+                    )
+                return full
+
+            def coarse_correct(r):
+                r_full = gather_full(jnp.where(bc_mask, 0.0, r))
+                wc = Ac_inv @ restrict_full(r_full)
+                corr = shard_back(prolong_full(wc))
+                return jnp.where(bc_mask, 0.0, corr)
+        else:
+            def coarse_correct(r):
+                return jnp.zeros_like(r)
+
         def residual_norm(u_try):
             """Flux-only residual norm (line-search trials; no tangent work)."""
             u_e = gather_cells(gather_full(u_try))
@@ -408,7 +528,7 @@ def make_sharded_newton_step(
             b = jnp.where(bc_mask, 0.0, -R)
             x0 = jnp.zeros_like(b)
             r0 = b
-            z0 = r0 / diag
+            z0 = r0 / diag + coarse_correct(r0)
             p0 = z0
 
             def cg_body(k, cg):
@@ -418,7 +538,7 @@ def make_sharded_newton_step(
                 alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = r / diag
+                z = r / diag + coarse_correct(r)
                 rz_new = vdot(r, z)
                 beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
                 p = z + beta * p
