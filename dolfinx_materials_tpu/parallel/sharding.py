@@ -123,10 +123,15 @@ def make_sharded_newton_step(
     Preconditioning: on structured grids ``pc="two_level"`` (default) adds a
     FROZEN two-level correction to the Jacobi-CG — the coarse operator
     P^T K(u0) P over ``pc_boxes``-per-axis node boxes is assembled and
-    LU-factored ONCE per step from the entering tangent, and the structured
-    restriction/prolongation are pure reshape-reduces (no gathers). Cuts the
-    CG iterations needed for stiff/elongated meshes by ~4-10x (docs/perf.md
-    "Krylov preconditioning"); ``pc="jacobi"`` restores the plain smoother.
+    dense-INVERTED once per step from the entering tangent (triangular LU
+    solves are sequential ~ms-latency ops on TPU; the per-iteration coarse
+    apply must be one small matmul), and the structured restriction/
+    prolongation are pure reshape-reduces (no gathers). Cuts the CG
+    iterations needed for stiff/elongated meshes by ~5x at BETTER residuals
+    (docs/perf.md); ``pc="jacobi"`` restores the plain smoother. NOTE: under
+    ``shard_dofs`` the coarse restriction all_gathers the residual each CG
+    iteration (2 full-vector collectives per iteration instead of 1) — a
+    gather-free partial-restriction psum is a known follow-up.
 
     Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
     (u, R, CG workspace, bc arrays) are SHARDED over the mesh axis instead of
@@ -436,12 +441,10 @@ def make_sharded_newton_step(
         u = jnp.where(bc_mask, bc_vals, u)
 
         # --- frozen two-level coarse factor from the ENTERING tangent -----
-        if two_level:
-            _, K_e0, _ = local_kernels(
-                gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l,
-                state_l, dt,
-            )
-            # bc weights per local dof (scalar gather, once per step)
+        # (built from the SAME K_e the first Newton update uses — see the
+        # build_coarse call after the initial evaluate below; no extra
+        # tangent assembly)
+        def build_coarse(K_e0):
             w_l = jnp.where(
                 gather_full(bc_mask.astype(K_e0.dtype))[dofmap_l] > 0.5, 0.0, 1.0
             )
@@ -463,8 +466,9 @@ def make_sharded_newton_step(
             # dense INVERSE, not an LU factor: triangular solves are
             # sequential (~ms latency each on TPU); the coarse apply must be
             # one (ncoarse, ncoarse) matmul per CG iteration
-            Ac_inv = jnp.linalg.inv(Ac)
+            return jnp.linalg.inv(Ac)
 
+        if two_level:
             def shard_back(full):
                 if shard_dofs:
                     if nd_p != ndofs:
@@ -477,14 +481,17 @@ def make_sharded_newton_step(
                     )
                 return full
 
-            def coarse_correct(r):
-                r_full = gather_full(jnp.where(bc_mask, 0.0, r))
-                wc = Ac_inv @ restrict_full(r_full)
-                corr = shard_back(prolong_full(wc))
-                return jnp.where(bc_mask, 0.0, corr)
+            def make_coarse_correct(Ac_inv):
+                def coarse_correct(r):
+                    r_full = gather_full(jnp.where(bc_mask, 0.0, r))
+                    wc = Ac_inv @ restrict_full(r_full)
+                    corr = shard_back(prolong_full(wc))
+                    return jnp.where(bc_mask, 0.0, corr)
+
+                return coarse_correct
         else:
-            def coarse_correct(r):
-                return jnp.zeros_like(r)
+            def make_coarse_correct(_):
+                return jnp.zeros_like
 
         def residual_norm(u_try):
             """Flux-only residual norm (line-search trials; no tangent work)."""
@@ -567,40 +574,41 @@ def make_sharded_newton_step(
             take = jnp.isfinite(n_fin) & (n_fin < res_norm)
             return jnp.where(take, u + alpha * du, u)
 
+        def evaluate(u_):
+            r_e, K_e, st = local_kernels(
+                gather_cells(gather_full(u_)), dNdx_l, wdetJ_l, x_q_l,
+                state_l, dt,
+            )
+            R = jnp.where(bc_mask, 0.0, assemble(r_e, u_.dtype))
+            return R, K_e, st
+
+        # ONE evaluation at the entering u feeds the coarse setup, the first
+        # Newton update, AND the already-converged exit: the carry holds
+        # (R, K_e, state) so nothing is assembled twice per iteration and no
+        # extra exit evaluation is needed (state always matches u)
+        R, K_e, st_out = evaluate(u)
+        res = norm(R)
+        res0 = jnp.maximum(res, 1e-30)
+        coarse_correct = make_coarse_correct(
+            build_coarse(K_e) if two_level else None
+        )
+
         def newton_body(carry):
-            u, res0, _, it = carry
-            r_e, K_e, _ = local_kernels(
-                gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l, state_l, dt
-            )
-            R = jnp.where(bc_mask, 0.0, assemble(r_e, u.dtype))
-            res = norm(R)
-            res0 = jnp.where(it == 0, jnp.maximum(res, 1e-30), res0)
-            converged = res <= rtol * res0 + atol
-            u_new = jax.lax.cond(
-                converged,
-                lambda: u,
-                lambda: newton_update(u, R, K_e, res),
-            )
-            return (u_new, res0, res, it + 1)
+            u, R, K_e, st, res, it = carry
+            u_new = newton_update(u, R, K_e, res)
+            R_new, K_new, st_new = evaluate(u_new)
+            return (u_new, R_new, K_new, st_new, norm(R_new), it + 1)
 
         def newton_cond(carry):
-            _, res0, res_prev, it = carry
-            not_done = jnp.logical_or(
-                it == 0, res_prev > rtol * res0 + atol
+            _, _, _, _, res_prev, it = carry
+            return jnp.logical_and(
+                it < n_newton, res_prev > rtol * res0 + atol
             )
-            return jnp.logical_and(it < n_newton, not_done)
 
-        zero = jnp.asarray(0.0, u.dtype)
-        u, _, _, _ = jax.lax.while_loop(
-            newton_cond, newton_body, (u, zero, zero, 0)
+        u, R, K_e, st_out, res_norm, _ = jax.lax.while_loop(
+            newton_cond, newton_body, (u, R, K_e, st_out, res, 0)
         )
-        # one final constitutive evaluation so the returned state matches the
-        # returned u (the reference's advance() commits the LAST update's s1)
-        r_e, _, new_state = local_kernels(
-            gather_cells(gather_full(u)), dNdx_l, wdetJ_l, x_q_l, state_l, dt
-        )
-        res_norm = norm(jnp.where(bc_mask, 0.0, assemble(r_e, u.dtype)))
-        return u, new_state, res_norm
+        return u, st_out, res_norm
 
     npoints_real = ne_real * nq
 
