@@ -128,10 +128,9 @@ def make_sharded_newton_step(
     apply must be one small matmul), and the structured restriction/
     prolongation are pure reshape-reduces (no gathers). Cuts the CG
     iterations needed for stiff/elongated meshes by ~5x at BETTER residuals
-    (docs/perf.md); ``pc="jacobi"`` restores the plain smoother. NOTE: under
-    ``shard_dofs`` the coarse restriction all_gathers the residual each CG
-    iteration (2 full-vector collectives per iteration instead of 1) — a
-    gather-free partial-restriction psum is a known follow-up.
+    (docs/perf.md); ``pc="jacobi"`` restores the plain smoother. Under
+    ``shard_dofs`` the coarse restriction is gather-free: the local slice is
+    box-reduced in place and only the (ncoarse,) partial sums are psummed.
 
     Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
     (u, R, CG workspace, bc arrays) are SHARDED over the mesh axis instead of
@@ -483,8 +482,21 @@ def make_sharded_newton_step(
 
             def make_coarse_correct(Ac_inv):
                 def coarse_correct(r):
-                    r_full = gather_full(jnp.where(bc_mask, 0.0, r))
-                    wc = Ac_inv @ restrict_full(r_full)
+                    r0 = jnp.where(bc_mask, 0.0, r)
+                    if shard_dofs:
+                        # gather-free restriction: embed the local slice into
+                        # a zero grid (dynamic_update_slice, memory-speed),
+                        # box-reduce, then psum only the tiny (ncoarse,)
+                        # vector — no full-vector collective
+                        loc = nd_p // ndev
+                        start = (shard_index() * loc).astype(jnp.int32)
+                        emb = jax.lax.dynamic_update_slice(
+                            jnp.zeros(nd_p, r.dtype), r0, (start,)
+                        )
+                        rc = jax.lax.psum(restrict_full(emb), axis)
+                    else:
+                        rc = restrict_full(r0)
+                    wc = Ac_inv @ rc
                     corr = shard_back(prolong_full(wc))
                     return jnp.where(bc_mask, 0.0, corr)
 
