@@ -57,6 +57,7 @@ def fit_parameters(
     learning_rate=0.05,
     optimizer=None,
     loss_fn=None,
+    dt=0.0,
 ):
     """Calibrate behavior parameters to observed flux (stress) history.
 
@@ -73,7 +74,10 @@ def fit_parameters(
     """
     import optax
 
-    sim = make_path_simulator(behavior_factory, params0)
+    # dt matters: rate-dependent behaviors (Norton, crystal) integrate
+    # dp ~ dt * rate — calibrating them at the default dt = 0 would make the
+    # predictions purely elastic with exactly-zero parameter gradients
+    sim = make_path_simulator(behavior_factory, params0, dt=dt)
     target = jnp.asarray(target_flux)
     scale = jnp.mean(target**2) + 1e-30
 

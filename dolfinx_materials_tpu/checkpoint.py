@@ -38,10 +38,24 @@ def load_state(path, qmap):
 
     data = np.load(path)
     dm = qmap.material.data_manager
+    n_ckpt = data["__gradients__"].shape[0]
+    n_here = np.asarray(dm.s0.gradients).shape[0]
+    if n_ckpt != n_here:
+        raise ValueError(
+            f"checkpoint holds {n_ckpt} Gauss points but this QuadratureMap "
+            f"has {n_here} (different mesh or quadrature degree?) — refusing "
+            "to load a mismatched state"
+        )
     for s in (dm.s0, dm.s1):
         s.gradients = jnp.asarray(data["__gradients__"])
         s.fluxes = jnp.asarray(data["__fluxes__"])
         for k in list(s.internal):
+            want = np.asarray(s.internal[k]).shape
+            got = data[f"isv::{k}"].shape
+            if want != got:
+                raise ValueError(
+                    f"checkpoint ISV '{k}' has shape {got}, expected {want}"
+                )
             s.internal[k] = jnp.asarray(data[f"isv::{k}"])
     return {
         k.split("::", 1)[1]: data[k] for k in data.files if k.startswith("extra::")

@@ -41,6 +41,13 @@ def read_msh(path, cell_type=None):
 
     if version < 4.0:
         return _read_v2(lines, cell_type)
+    if version < 4.1:
+        # v4.0 interleaves 'tag x y z' node lines and swaps the entity-block
+        # header order vs v4.1 — fail cleanly instead of mis-parsing
+        raise ValueError(
+            f"MSH format {version} is not supported (use 2.2 or 4.1; "
+            "re-export with gmsh -format msh41 or msh2)"
+        )
     return _read_v4(lines, cell_type)
 
 
@@ -148,7 +155,10 @@ def _read_v4(lines, cell_type):
     for _ in range(nblocks):
         edim, etag, etype, ne = [int(x) for x in lines[i].split()]
         i += 1
-        tag = phys.get((edim, etag), etag)
+        # untagged entities -> 0, matching the v2 reader; falling back to the
+        # raw entity tag would silently merge with an unrelated PHYSICAL group
+        # sharing the same integer
+        tag = phys.get((edim, etag), 0)
         for k in range(ne):
             parts = [int(x) for x in lines[i + k].split()]
             if etype in names and names[etype][0] != "point":

@@ -57,21 +57,19 @@ def interface_facets(mesh: Mesh, cells1, cells2):
     ncells, nlf, nfv = fv.shape
     flat = fv.reshape(-1, nfv)
     keys = np.sort(flat, axis=1)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    uniq, first_occurrence, inv = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
     owner_cell = np.repeat(np.arange(ncells), nlf)
     in1 = np.zeros(ncells, bool)
     in1[np.asarray(cells1, dtype=np.int64)] = True
     in2 = np.zeros(ncells, bool)
     in2[np.asarray(cells2, dtype=np.int64)] = True
 
-    side1 = np.zeros(len(uniq), bool)
-    side2 = np.zeros(len(uniq), bool)
-    first_occurrence = np.full(len(uniq), -1, np.int64)
-    for k, (f, c) in enumerate(zip(inv, owner_cell)):
-        side1[f] |= in1[c]
-        side2[f] |= in2[c]
-        if first_occurrence[f] < 0:
-            first_occurrence[f] = k
+    # vectorized side membership (a Python loop over ncells*nlf incidences
+    # costs tens of seconds on production meshes)
+    side1 = np.bincount(inv, weights=in1[owner_cell], minlength=len(uniq)) > 0
+    side2 = np.bincount(inv, weights=in2[owner_cell], minlength=len(uniq)) > 0
     on_interface = side1 & side2
     return flat[first_occurrence[on_interface]].astype(np.int32)
 

@@ -60,7 +60,10 @@ class RankinePlasticity(GeneralIsotropicHardening):
     """Associated plasticity with the (smoothed) Rankine yield surface."""
 
     def __init__(self, elasticity, yield_stress, smooth=1e-3, scale=None, **kw):
-        scale = scale if scale is not None else float(yield_stress(0.0))
+        # no float(): yield_stress(0.0) may be a tracer when the behavior is
+        # built inside a jitted factory (calibration.fit_parameters) — the
+        # norm closures compose fine with traced scales
+        scale = scale if scale is not None else yield_stress(0.0)
         super().__init__(
             elasticity, yield_stress, stress_norm=rankine_norm(smooth, scale), **kw
         )
@@ -68,7 +71,7 @@ class RankinePlasticity(GeneralIsotropicHardening):
 
 class L1RankinePlasticity(GeneralIsotropicHardening):
     def __init__(self, elasticity, yield_stress, smooth=1e-3, scale=None, **kw):
-        scale = scale if scale is not None else float(yield_stress(0.0))
+        scale = scale if scale is not None else yield_stress(0.0)
         super().__init__(
             elasticity, yield_stress, stress_norm=l1_rankine_norm(smooth, scale), **kw
         )

@@ -205,6 +205,14 @@ def t_inv33(A):
 
 def t_eigvals_sym(S, eps=1e-12, delta=1e-12):
     """Tuple twin of :func:`eigvals_sym` (Cardano, smooth-guarded)."""
+    # dtype-aware guards: in f32, 1 - 1e-12 rounds to EXACTLY 1.0, the clip
+    # becomes a no-op, and d(arccos)/dr = -1/sqrt(1-r^2) returns inf -> NaN
+    # tangents at coincident eigenvalues (f32 TPU pipelines hit this; f64 does
+    # not). Clamp both guards to a few ulps of the input dtype.
+    feps = jnp.finfo(S[0][0].dtype).eps
+    eps = jnp.maximum(eps, 4.0 * feps)
+    delta = jnp.maximum(delta, 8.0 * feps)
+
     import numpy as np
 
     q = t_trace(S) / 3.0
@@ -234,6 +242,14 @@ def eigvals_sym(S, eps=1e-12, delta=1e-12):
 
     ~50 elementwise ops on (n,) lanes — the fast path for isotropic invariant
     functions (Ogden stretch powers) where eigenVECTORS are not needed."""
+    # dtype-aware guards: in f32, 1 - 1e-12 rounds to EXACTLY 1.0, the clip
+    # becomes a no-op, and d(arccos)/dr = -1/sqrt(1-r^2) returns inf -> NaN
+    # tangents at coincident eigenvalues (f32 TPU pipelines hit this; f64 does
+    # not). Clamp both guards to a few ulps of the input dtype.
+    feps = jnp.finfo(S.dtype).eps
+    eps = jnp.maximum(eps, 4.0 * feps)
+    delta = jnp.maximum(delta, 8.0 * feps)
+
     import numpy as np
 
     q = trace(S) / 3.0

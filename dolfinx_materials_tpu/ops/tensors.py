@@ -248,6 +248,14 @@ def eigvals33_smooth(S, eps=1e-12, delta=1e-12):
     forward-over-reverse AD through it is cheap (the matrix-function alternative
     compiles to thousands of ops).
     """
+    # dtype-aware guards: in f32, 1 - 1e-12 rounds to EXACTLY 1.0, the clip
+    # becomes a no-op, and d(arccos)/dr = -1/sqrt(1-r^2) returns inf -> NaN
+    # tangents at coincident eigenvalues (f32 TPU pipelines hit this; f64 does
+    # not). Clamp both guards to a few ulps of the input dtype.
+    feps = jnp.finfo(S.dtype).eps
+    eps = jnp.maximum(eps, 4.0 * feps)
+    delta = jnp.maximum(delta, 8.0 * feps)
+
     q = (S[..., 0, 0] + S[..., 1, 1] + S[..., 2, 2]) / 3.0
     B = S - q[..., None, None] * jnp.eye(3, dtype=S.dtype)
     p2 = jnp.sum(B * B, axis=(-2, -1))

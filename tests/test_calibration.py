@@ -81,3 +81,50 @@ def test_voce_calibration_recovers_parameters():
     np.testing.assert_allclose(sig0, TRUE["sig0"], rtol=1e-2)
     np.testing.assert_allclose(sigu, TRUE["sigu"], rtol=1e-2)
     np.testing.assert_allclose(b, TRUE["b"], rtol=1e-2)
+
+
+def test_calibrate_rate_dependent_norton_with_dt():
+    """Rate-dependent calibration must thread dt to the simulator (a dt=0.0
+    default would make Norton predictions purely elastic with zero parameter
+    gradients — review finding r2)."""
+    from dolfinx_materials_tpu.calibration import fit_parameters, make_path_simulator
+    from dolfinx_materials_tpu.models import (
+        LinearElasticIsotropic,
+        NortonViscoplasticity,
+    )
+
+    E, nu, sig0 = 70e3, 0.3, 200.0
+    K_true = 150.0
+
+    def factory(theta):
+        # log-multiplier parameterization (the fit_parameters docstring tip):
+        # Adam sees O(1) variables for an O(100) physical parameter
+        return NortonViscoplasticity(
+            LinearElasticIsotropic(E, nu),
+            lambda p: sig0,
+            K=100.0 * jnp.exp(theta["logK"]),
+            n=3.0,
+        )
+
+    nsteps, dt = 12, 0.05
+    eps_axx = np.linspace(0, 8e-3, nsteps)
+    path = np.zeros((nsteps, 6))
+    path[:, 0] = eps_axx
+    theta_true = {"logK": jnp.log(K_true / 100.0)}
+    sim = make_path_simulator(factory, theta_true, dt=dt)
+    target = np.asarray(sim(theta_true, jnp.asarray(path)))
+    # viscoplastic flow must actually be active in the data
+    elastic = np.asarray(sim({"logK": jnp.log(1e10)}, jnp.asarray(path)))
+    assert np.max(np.abs(target - elastic)) > 1.0
+
+    fit, hist = fit_parameters(
+        factory,
+        {"logK": jnp.asarray(0.0)},  # K0 = 100, true 150
+        path,
+        target,
+        steps=200,
+        learning_rate=0.05,
+        dt=dt,
+    )
+    K_fit = 100.0 * float(jnp.exp(fit["logK"]))
+    assert abs(K_fit - K_true) / K_true < 0.05, (K_fit, hist[-1])
