@@ -10,7 +10,11 @@ fields plus the interface coupling in one operator.
 Run: python demos/multimaterial_interface.py
 """
 
+import sys
+
 import numpy as np
+
+sys.path.insert(0, ".")
 import jax.numpy as jnp
 
 from dolfinx_materials_tpu import Material, NonlinearMaterialProblem, QuadratureMap
