@@ -110,6 +110,19 @@ class InterfaceDomain:
         assert (fv1 >= 0).all() and (fv2 >= 0).all(), (
             "interface facet has vertices missing from a submesh"
         )
+        # conformity check: the two submeshes must be geometrically coincident
+        # along the interface (side-1 geometry is used for the quadrature
+        # below) — a mismatched pair would otherwise couple wrong locations
+        # silently
+        c1 = space1.mesh.points[fv1]
+        c2 = space2.mesh.points[fv2]
+        scale = max(1.0, float(np.abs(c1).max()))
+        if not np.allclose(c1, c2, atol=1e-10 * scale):
+            raise ValueError(
+                "interface submeshes are not conforming: side-2 facet "
+                f"coordinates deviate from side 1 by up to "
+                f"{np.abs(c1 - c2).max():.3e}"
+            )
 
         fct = _facet_cell_type(space1.mesh)
         geo = ReferenceElement(fct, 1, quad_degree)

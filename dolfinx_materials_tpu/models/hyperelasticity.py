@@ -84,10 +84,18 @@ class Ogden(HyperelasticBehavior):
     implementation needs a guarded isotropic-function derivative, Ogden.mfront:66-70).
     """
 
-    def __init__(self, mu=(0.4e6,), alpha=(28.8,), K=69444444.0 * 28.8 / 2):
+    def __init__(
+        self,
+        mu=(0.4e6,),
+        alpha=(28.8,),
+        K=69444444.0 * 28.8 / 2,
+        tangent_chunk=65536,
+    ):
         self.mu = tuple(mu)
         self.alpha = tuple(alpha)
         self.K = K
+        # batched_update's flat-jvp tangent peaks at 9*chunk live points
+        self.tangent_chunk = int(tangent_chunk)
 
     def strain_energy(self, F):
         C = F.T @ F
@@ -208,17 +216,37 @@ class Ogden(HyperelasticBehavior):
         the forward-over-reverse graph made XLA/Mosaic compile ~30x slower
         (measured 296 s vmapped vs 10.6 s flat at n = 2^14); the flat form
         re-computes the jvp primal 9x (~1.4x runtime) but compiles like the
-        plain kernel. Peak memory scales with 9n — callers with multi-million
-        point batches should chunk."""
+        plain kernel. Peak memory scales with 9*chunk: batches larger than
+        ``tangent_chunk`` points are processed in lax.map chunks so multi-
+        million-point assemblies stay O(9*chunk), not O(9n)."""
 
         def pk1_fn(x):
             return jax.grad(lambda y: jnp.sum(self.strain_energy_batched(y)))(x)
 
+        def tangent_chunked(Fc):
+            nc = Fc.shape[0]
+            F9 = jnp.tile(Fc, (9, 1))  # (9nc, 9)
+            seeds = jnp.repeat(jnp.eye(9, dtype=Fc.dtype), nc, axis=0)
+            _, tang = jax.jvp(pk1_fn, (F9,), (seeds,))
+            cols = tang.reshape(9, nc, 9)  # (9_in, nc, 9_out)
+            return jnp.transpose(cols, (1, 2, 0)).reshape(nc, 81)
+
         n = Fv.shape[0]
         pk1 = pk1_fn(Fv)
-        Fv9 = jnp.tile(Fv, (9, 1))  # (9n, 9)
-        seeds = jnp.repeat(jnp.eye(9, dtype=Fv.dtype), n, axis=0)
-        _, tang = jax.jvp(pk1_fn, (Fv9,), (seeds,))
-        cols = tang.reshape(9, n, 9)  # (9_in, n, 9_out)
-        Ct = jnp.transpose(cols, (1, 2, 0)).reshape(n, 81)
+        chunk = int(self.tangent_chunk)
+        if n <= chunk:
+            Ct = tangent_chunked(Fv)
+        else:
+            # pad with identity F (a perfectly regular point) to a chunk
+            # multiple, then map chunks sequentially: peak memory O(9*chunk)
+            n_pad = (-n) % chunk
+            Fp = Fv
+            if n_pad:
+                eye = jnp.tile(
+                    jnp.eye(3, dtype=Fv.dtype).reshape(1, 9), (n_pad, 1)
+                )
+                Fp = jnp.concatenate([Fv, eye], axis=0)
+            Ct = jax.lax.map(
+                tangent_chunked, Fp.reshape(-1, chunk, 9)
+            ).reshape(-1, 81)[:n]
         return pk1, Ct, state

@@ -21,8 +21,13 @@ from .base import SmallStrainBehavior
 class PlaneStress(SmallStrainBehavior):
     """Enforce sig_zz = 0 by solving for eps_zz internally.
 
-    The incoming Strain 6-vector's ezz slot is IGNORED (the 2D kinematics
-    produce 0 there); the solved ezz is exposed as the ISV ``eps_zz``.
+    The incoming Strain 6-vector's ezz slot MUST be 0 (2D kinematics produce 0
+    there); the solved ezz is exposed as the ISV ``eps_zz``. A nonzero incoming
+    ezz means a 3D-strain caller is misusing the wrapper — since this runs
+    under vmap/jit where raising is impossible, such points have their stress
+    poisoned with NaN, which the solver's non-finite |R| detection and the
+    QuadratureMap NaN policy both surface immediately instead of silently
+    returning a wrong answer.
     """
 
     def __init__(self, inner, tol=1e-10, max_iter=40):
@@ -53,4 +58,8 @@ class PlaneStress(SmallStrainBehavior):
         )
         e = eps.at[2].set(ezz)
         sig, new_inner = self.inner.small_strain_update(e, inner_state, dt)
+        # Guard: a nonzero incoming ezz (3D-strain caller) poisons the output
+        # rather than being silently discarded.
+        bad = eps[2] != 0.0
+        sig = jnp.where(bad, jnp.nan, 1.0) * sig
         return sig, {**new_inner, "eps_zz": ezz}

@@ -41,7 +41,7 @@ from . import tensors
 
 
 def make_j2_pallas_update(
-    elasticity, yield_stress, n_iter=4, tile=8192, interpret=False,
+    elasticity, yield_stress, n_iter=None, tile=8192, interpret=False,
     warm_start=True,
 ):
     """Returns ``update(eps_T (6,n), eps_p_T (6,n), p (1,n)) ->
@@ -58,6 +58,10 @@ def make_j2_pallas_update(
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # warm-started Newton converges in 4; a cold start needs the old 6
+    if n_iter is None:
+        n_iter = 4 if warm_start else 6
 
     mu = float(elasticity.mu)
     lmbda = float(elasticity.lmbda)
@@ -101,8 +105,12 @@ def make_j2_pallas_update(
             return jnp.maximum(dp - r / dr, 0.0)
 
         # unrolled: straight-line code schedules ~15% faster than fori_loop
+        # seed denominator clamped: softening laws can drive 3*mu + Y'(p)
+        # toward zero/negative; the clamp keeps the seed finite and >= 0
         dp = (
-            f_act / (3.0 * mu + dY0) if warm_start else jnp.zeros_like(q_tr)
+            f_act / jnp.maximum(3.0 * mu + dY0, 1e-3 * mu)
+            if warm_start
+            else jnp.zeros_like(q_tr)
         )
         for _i in range(n_iter):
             dp = body(_i, dp)
@@ -174,7 +182,7 @@ def make_j2_pallas_update(
 
 
 def make_j2_pallas_factored(
-    elasticity, yield_stress, n_iter=4, tile=8192, interpret=False,
+    elasticity, yield_stress, n_iter=None, tile=8192, interpret=False,
     warm_start=True,
 ):
     """Factored-tangent variant: ``update(eps_T, eps_p_T, p) ->
@@ -189,6 +197,10 @@ def make_j2_pallas_factored(
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # warm-started Newton converges in 4; a cold start needs the old 6
+    if n_iter is None:
+        n_iter = 4 if warm_start else 6
 
     mu = float(elasticity.mu)
     lmbda = float(elasticity.lmbda)
@@ -225,8 +237,12 @@ def make_j2_pallas_factored(
             return jnp.maximum(dp - r / dr, 0.0)
 
         # unrolled: straight-line code schedules ~15% faster than fori_loop
+        # seed denominator clamped: softening laws can drive 3*mu + Y'(p)
+        # toward zero/negative; the clamp keeps the seed finite and >= 0
         dp = (
-            f_act / (3.0 * mu + dY0) if warm_start else jnp.zeros_like(q_tr)
+            f_act / jnp.maximum(3.0 * mu + dY0, 1e-3 * mu)
+            if warm_start
+            else jnp.zeros_like(q_tr)
         )
         for _i in range(n_iter):
             dp = body(_i, dp)

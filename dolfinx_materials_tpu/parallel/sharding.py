@@ -99,6 +99,7 @@ def make_sharded_newton_step(
     shard_dofs=False,
     pc="two_level",
     pc_boxes=8,
+    use_stencil=True,
 ):
     """Build a fully-fused, sharded Newton load step for a single-material
     mechanics problem (one registered gradient, default flux.dgrad residual).
@@ -137,7 +138,13 @@ def make_sharded_newton_step(
     replicated: per-matvec traffic is one ``all_gather`` (transient full
     vector for the cell gather) + one ``psum_scatter`` (assembled shard), the
     standard sequence-parallel pattern riding ICI. Persistent per-device dof
-    memory drops from O(ndofs) to O(ndofs / n_devices).
+    memory drops from O(ndofs) to O(ndofs / n_devices). CAVEAT: on structured
+    meshes the stencil fast path materializes full-grid (ne_pad, ndof_el)
+    element transients on every device inside the gather/scatter, so the
+    TRANSIENT footprint stays O(ne) per device even with ``shard_dofs=True``
+    (persistent state is still sharded); pass ``use_stencil=False`` to force
+    the sharded dofmap-gather path when that transient is the binding memory
+    constraint.
     """
     dom = qmap.domain
     material = qmap.material
@@ -169,7 +176,7 @@ def make_sharded_newton_step(
     # every device instead runs the FULL-grid shifted-slice gather/scatter
     # (redundant across shards but memory-speed) while the expensive
     # per-element work stays sharded. None -> general dofmap path (gmsh).
-    stencil = getattr(dom, "_stencil", None)
+    stencil = getattr(dom, "_stencil", None) if use_stencil else None
 
     # --- shard-ready (padded) tables -------------------------------------
     dNdx, ne_real = pad_to_multiple(np.asarray(dom.dNdx), ndev)

@@ -177,7 +177,11 @@ class NonlinearMaterialProblem:
         nnodes, dim = coords.shape
         lo = coords.min(axis=0)
         span = np.maximum(coords.max(axis=0) - lo, 1e-30)
-        target = max(1, min(self.pc_coarse_size, nnodes))
+        # pc_coarse_size budgets coarse DOFS (= aggregates * ncomp): size the
+        # boxes from target/ncomp so the dense coarse factorization stays
+        # within the <=~2048 guidance even for 3D vector problems
+        ncomp = max(1, self.u.space.num_dofs // nnodes)
+        target = max(1, min(self.pc_coarse_size // ncomp, nnodes))
         boxes_per_dim = max(1, int(np.floor(target ** (1.0 / dim))))
         q = np.minimum(
             (coords - lo) / span * boxes_per_dim, boxes_per_dim - 1

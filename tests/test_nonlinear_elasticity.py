@@ -35,7 +35,7 @@ def scipy_plane_strain_uniaxial(exx):
         ) * e / eps_eq
 
     def syy(eyy):
-        eps = np.array([exx, float(eyy), 0.0, 0, 0, 0])
+        eps = np.array([exx, float(np.atleast_1d(eyy)[0]), 0.0, 0, 0, 0])
         return stress(eps)[1]
 
     eyy = fsolve(syy, -nu * exx, xtol=1e-13)[0]
