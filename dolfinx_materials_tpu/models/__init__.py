@@ -48,6 +48,7 @@ from .conic import (  # noqa: F401
     l1_rankine_norm,
     rankine_norm,
 )
+from .conic_exact import L1RankineExact, RankineExact  # noqa: F401
 from .crystal import (  # noqa: F401
     MericCailletaudCrystalPlasticity,
     cubic_elasticity_C,

@@ -1,0 +1,227 @@
+"""EXACT conic return mapping for Rankine / L1-Rankine (plane stress).
+
+The reference solves a conic projection per Gauss point with cvxpy
+(reference demos/cvxpy/cvxpy_materials.py:32-51: minimize
+0.5 (sig - sig_el) : C^-1 (sig - sig_el) subject to eigenvalue constraints on
+the 2x2 plane-stress tensor; Rankine at :55-66, L1Rankine at :69-87). The
+round-2 smoothed norms (models/conic.py) carry an O(smooth) error exactly at
+the yield-surface vertices; this module removes it.
+
+TPU-native exact solve: the plane-stress elastic metric is ISOTROPIC, so the
+projection diagonalizes — the projected stress shares the trial principal
+axes, and the problem reduces to projecting the two trial principal stresses
+(t1, t2) onto a convex POLYGON in principal space under the constant metric
+A = C_p^{-1}, C_p = E/(1-nu^2) [[1, nu], [nu, 1]]:
+
+- Rankine:    the box  -fc <= lambda_i <= ft
+- L1-Rankine: { T <= ft, T >= -fc, lambda_i/ft - lambda_j/fc <= 1 }  (T = tr)
+
+An exact projection onto a convex polygon is a finite ACTIVE-SET enumeration:
+the interior point, the metric-projection onto each edge line (closed form),
+and each vertex. All candidates are computed branch-free, infeasible ones are
+masked, and the feasible candidate with minimal objective is the projection
+(unique by convexity). Everything is a handful of where/selects per point —
+vmapped over the batch, no iteration, no smoothing, machine-precision sharp at
+the vertices (validated against an independent SLSQP solver to <= 1e-8,
+tests/golden/conic_projection.csv).
+
+Tangent: ``tangent="consistent"`` (default) differentiates the closed-form
+projection (exact a.e.; the generalized derivative at surface kinks), which
+the reference cannot do — it returns the elastic C (cvxpy_materials.py:51),
+available here as ``tangent="elastic"`` for parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Behavior
+
+_BIG = 1e30
+
+
+def _principal_2x2(sig3):
+    """Mandel (s0, s1, sqrt2*s01) -> (lam1 >= lam2, cos2t, sin2t)."""
+    T = sig3[0] + sig3[1]
+    dx = 0.5 * (sig3[0] - sig3[1])
+    dy = sig3[2] / jnp.sqrt(2.0)
+    R = jnp.sqrt(dx * dx + dy * dy)
+    lam1 = 0.5 * T + R
+    lam2 = 0.5 * T - R
+    Rs = jnp.maximum(R, 1e-30)
+    return lam1, lam2, dx / Rs, dy / Rs
+
+
+def _recompose_2x2(lam1, lam2, c2t, s2t):
+    """Principal values + trial axes -> Mandel (3,)."""
+    m = 0.5 * (lam1 + lam2)
+    d = 0.5 * (lam1 - lam2)
+    return jnp.array(
+        [m + d * c2t, m - d * c2t, jnp.sqrt(2.0) * d * s2t]
+    )
+
+
+def _project_polygon(t, A, edges, vertices, tol_scale):
+    """Exact metric projection of ``t`` (2,) onto the convex polygon
+    { lam : g . lam <= b for (g, b) in edges } under metric ``A``.
+
+    ``edges``: (ne, 3) rows (gx, gy, b); ``vertices``: (nv, 2) candidate
+    vertex points (may include infeasible intersections — masked out).
+    """
+    Ainv = jnp.linalg.inv(A)
+    G = edges[:, :2]  # (ne, 2)
+    b = edges[:, 2]
+    tol = 1e-9 * tol_scale
+
+    def feasible(p):
+        return jnp.all(G @ p <= b + tol)
+
+    def objective(p):
+        d = p - t
+        return d @ (A @ d)
+
+    # candidate 0: the trial point itself
+    cands = [t]
+    # edge-line projections: lam = t - Ainv g (g.t - b) / (g Ainv g)
+    for e in range(edges.shape[0]):
+        g, be = G[e], b[e]
+        den = g @ (Ainv @ g)
+        lam = t - (Ainv @ g) * ((g @ t - be) / den)
+        cands.append(lam)
+    for vtx in vertices:
+        cands.append(jnp.asarray(vtx, t.dtype))
+
+    P = jnp.stack(cands)  # (nc, 2)
+    feas = jax.vmap(feasible)(P)
+    finite = jnp.all(jnp.isfinite(P), axis=1)
+    obj = jax.vmap(objective)(P)
+    obj = jnp.where(feas & finite, obj, _BIG)
+    k = jnp.argmin(obj)
+    return P[k]
+
+
+class _ExactConicPlaneStress(Behavior):
+    """Common machinery: plane-stress elasticity + exact principal projection.
+
+    Matches the reference CvxPyMaterial protocol: gradient Strain (3,), flux
+    Stress (3,), incremental driving from the stored (Strain, Stress) state
+    (reference cvxpy_materials.py:40-51), perfect plasticity.
+    """
+
+    gradients = {"Strain": 3}
+    fluxes = {"Stress": 3}
+
+    def __init__(self, E, nu, ft, fc, tangent="consistent"):
+        self.E, self.nu = float(E), float(nu)
+        self.ft, self.fc = float(ft), float(fc)
+        assert tangent in ("consistent", "elastic")
+        self.tangent = tangent
+        E_, nu_ = self.E, self.nu
+        # plane-stress stiffness, Mandel 3-vector (ref cvxpy_materials.py:16-18;
+        # the sqrt2 shear slot makes the shear entry 2G = E/(1+nu))
+        self.C = np.array(
+            [
+                [E_ / (1 - nu_**2), E_ * nu_ / (1 - nu_**2), 0.0],
+                [E_ * nu_ / (1 - nu_**2), E_ / (1 - nu_**2), 0.0],
+                [0.0, 0.0, E_ / (1 + nu_)],
+            ]
+        )
+        # principal-space metric A = C_p^{-1}
+        self.A = np.linalg.inv(
+            E_ / (1 - nu_**2) * np.array([[1.0, nu_], [nu_, 1.0]])
+        )
+
+    def init_state(self):
+        return {"Strain": jnp.zeros(3), "Stress": jnp.zeros(3)}
+
+    def _edges_vertices(self):
+        raise NotImplementedError
+
+    def project(self, sig_trial3):
+        """Exact return map of one trial Mandel stress (3,)."""
+        lam1, lam2, c2t, s2t = _principal_2x2(sig_trial3)
+        edges, vertices = self._edges_vertices()
+        t = jnp.array([lam1, lam2])
+        p = _project_polygon(
+            t, jnp.asarray(self.A, sig_trial3.dtype),
+            jnp.asarray(edges, sig_trial3.dtype), vertices,
+            tol_scale=max(self.ft, self.fc),
+        )
+        # re-sort: the projection may cross lam1 = lam2 only at symmetric
+        # regions; keep the larger first so axes stay consistent
+        p1 = jnp.maximum(p[0], p[1])
+        p2 = jnp.minimum(p[0], p[1])
+        return _recompose_2x2(p1, p2, c2t, s2t)
+
+    def constitutive_update(self, inputs, state, dt):
+        eps = inputs["Strain"]
+        C = jnp.asarray(self.C, eps.dtype)
+        sig_tr = state["Stress"] + C @ (eps - state["Strain"])
+        if self.tangent == "elastic":
+            # reference parity (cvxpy_materials.py:51 returns C): value is the
+            # exact projection, derivative w.r.t. eps is the elastic C
+            sig = (
+                jax.lax.stop_gradient(self.project(sig_tr))
+                + C @ eps
+                - jax.lax.stop_gradient(C @ eps)
+            )
+        else:
+            sig = self.project(sig_tr)
+        return {"Stress": sig}, {"Strain": eps, "Stress": sig}
+
+
+class RankineExact(_ExactConicPlaneStress):
+    """Exact Rankine: -fc <= lambda_i <= ft (ref cvxpy_materials.py:55-66)."""
+
+    def _edges_vertices(self):
+        ft, fc = self.ft, self.fc
+        edges = np.array(
+            [
+                [1.0, 0.0, ft],
+                [0.0, 1.0, ft],
+                [-1.0, 0.0, fc],
+                [0.0, -1.0, fc],
+            ]
+        )
+        vertices = np.array(
+            [[ft, ft], [ft, -fc], [-fc, ft], [-fc, -fc]]
+        )
+        return edges, vertices
+
+
+class L1RankineExact(_ExactConicPlaneStress):
+    """Exact L1-Rankine: T <= ft, T >= -fc, lam_i/ft - lam_j/fc <= 1
+    (ref cvxpy_materials.py:69-87; the R-form constraint there equals
+    lam_max/ft - lam_min/fc <= 1)."""
+
+    def _edges_vertices(self):
+        ft, fc = self.ft, self.fc
+        edges = np.array(
+            [
+                [1.0, 1.0, ft],  # T <= ft
+                [-1.0, -1.0, fc],  # T >= -fc
+                [1.0 / ft, -1.0 / fc, 1.0],  # lam1/ft - lam2/fc <= 1
+                [-1.0 / fc, 1.0 / ft, 1.0],  # lam2/ft - lam1/fc <= 1
+            ]
+        )
+
+        def isect(e1, e2):
+            M = np.array([e1[:2], e2[:2]])
+            rhs = np.array([e1[2], e2[2]])
+            det = np.linalg.det(M)
+            if abs(det) < 1e-14:
+                return np.array([np.inf, np.inf])
+            return np.linalg.solve(M, rhs)
+
+        vertices = np.array(
+            [
+                isect(edges[0], edges[2]),
+                isect(edges[0], edges[3]),
+                isect(edges[1], edges[2]),
+                isect(edges[1], edges[3]),
+                isect(edges[2], edges[3]),
+            ]
+        )
+        return edges, vertices

