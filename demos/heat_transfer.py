@@ -34,10 +34,10 @@ from dolfinx_materials_tpu.fem.io import write_vtk
 from dolfinx_materials_tpu.models import NonlinearHeatTransfer, PhaseChangeHeatTransfer
 
 
-def stationary():
+def stationary(nx=40):
     A, B = 0.0375, 2.165e-4
     T0, T1 = 300.0, 800.0
-    mesh = create_rectangle((0, 0), (1.0, 0.2), (40, 4), "quad")
+    mesh = create_rectangle((0, 0), (1.0, 0.2), (nx, max(2, nx // 10)), "quad")
     V = FunctionSpace(mesh, 1, ())
     mat = Material(NonlinearHeatTransfer(A=A, B=B, dim=2))
     qmap = QuadratureMap(V, 2, mat)
@@ -63,9 +63,9 @@ def stationary():
           f"{abs(-j[:, 0].mean() - j_exact) / j_exact:.2e}")
 
 
-def phase_change():
+def phase_change(nx=60, nsteps=15):
     beh = PhaseChangeHeatTransfer(Tsmooth=5.0, dim=2)
-    L, nx = 0.1, 60
+    L = 0.1
     mesh = create_rectangle((0, 0), (L, L / nx), (nx, 1), "quad")
     V = FunctionSpace(mesh, 1, ())
     mat = Material(beh)
@@ -90,8 +90,12 @@ def phase_change():
     qmap.update(jnp.asarray(T.x))
     qmap.advance()
     ext = qmap.domain.make_residual([scalar_value()])
+    from dolfinx_materials_tpu.fem.io import TimeSeriesWriter
+
+    series = TimeSeriesWriter("phase_change", mesh)
+    series.write(0.0, point_data={"T": T.x})
     fronts = []
-    for step in range(15):
+    for step in range(nsteps):
         problem.external_force = np.asarray(
             ext(jnp.asarray(T.x), [mat.data_manager.s0["Enthalpy"]])
         )
@@ -100,8 +104,11 @@ def phase_change():
         x = V.node_coords[:, 0]
         molten = T.x > beh.Tm
         fronts.append(x[molten].max() if molten.any() else 0.0)
+        # transient time series: per-step snapshot + .pvd index (the
+        # reference's XDMF time-series role, phase_change.py:296-393)
+        series.write((step + 1) * dtv, point_data={"T": T.x})
     write_vtk("phase_change.vtk", mesh, point_data={"T": T.x})
-    print(f"phase change: melting front at t={15 * dtv:.0f}s: {fronts[-1]:.4f} m "
+    print(f"phase change: melting front at t={nsteps * dtv:.0f}s: {fronts[-1]:.4f} m "
           f"(monotone: {bool((np.diff(fronts) >= 0).all())})")
 
 

@@ -33,7 +33,7 @@ from dolfinx_materials_tpu.models import LinearElasticIsotropic, NeuralBehavior
 from dolfinx_materials_tpu.ops import tensors as tn
 
 
-def main():
+def main(steps=3000):
     E, nu = 70e3, 0.3
 
     # --- data + training --------------------------------------------------
@@ -42,7 +42,7 @@ def main():
     C = np.asarray(tn.isotropic_C(E, nu))
     sig_data = eps_data @ C.T
     surrogate = NeuralBehavior(layers=(6, 48, 48, 6), input_scale=1e3, output_scale=100.0)
-    hist = surrogate.fit(eps_data, sig_data, steps=3000, learning_rate=3e-3)
+    hist = surrogate.fit(eps_data, sig_data, steps=steps, learning_rate=3e-3)
     print(f"training: loss {hist[0]:.3e} -> {hist[-1]:.3e}")
 
     # --- FEM solves: surrogate vs ground truth ----------------------------

@@ -23,7 +23,7 @@ from .facets import (  # noqa: F401
     boundary_facets,
 )
 from .gmsh_io import read_msh  # noqa: F401
-from .io import write_vtk  # noqa: F401
+from .io import TimeSeriesWriter, write_vtk  # noqa: F401
 from .submesh import (  # noqa: F401
     InterfaceDomain,
     InterfaceTerm,

@@ -59,3 +59,48 @@ def write_vtk(path, mesh, point_data=None, cell_data=None):
             f.write(f"CELL_DATA {len(cells)}\n")
             write_fields(cell_data, len(cells))
     return path
+
+
+class TimeSeriesWriter:
+    """Multi-snapshot field output: per-step legacy .vtk files + a ParaView
+    .pvd collection index.
+
+    The reference writes XDMF/VTX time series via dolfinx.io
+    (reference tests/uniaxial_tension.py:93-117 and the transient heat demos);
+    this is the dependency-free equivalent — ``writer.write(t, point_data=...)``
+    per step, files named ``<base>_0000.vtk`` ... referenced with their time
+    stamps from ``<base>.pvd``, loadable as a time series by ParaView/VisIt.
+    """
+
+    def __init__(self, path, mesh):
+        import os
+
+        self.base = path[:-4] if path.endswith(".pvd") else path
+        self.mesh = mesh
+        self.steps = []  # (time, filename)
+        self._dir = os.path.dirname(os.path.abspath(self.base))
+
+    def write(self, t, point_data=None, cell_data=None):
+        """Append one snapshot at time ``t``; rewrites the .pvd index."""
+        import os
+
+        fname = f"{self.base}_{len(self.steps):04d}.vtk"
+        write_vtk(fname, self.mesh, point_data=point_data, cell_data=cell_data)
+        self.steps.append((float(t), os.path.basename(fname)))
+        self._write_pvd()
+        return fname
+
+    def _write_pvd(self):
+        lines = [
+            '<?xml version="1.0"?>',
+            '<VTKFile type="Collection" version="0.1">',
+            "  <Collection>",
+        ]
+        for t, fn in self.steps:
+            lines.append(
+                f'    <DataSet timestep="{t:.12g}" group="" part="0" file="{fn}"/>'
+            )
+        lines += ["  </Collection>", "</VTKFile>", ""]
+        with open(self.base + ".pvd", "w") as f:
+            f.write("\n".join(lines))
+        return self.base + ".pvd"

@@ -186,8 +186,30 @@ class QuadratureMap:
         """Project a quadrature state field (reference :362-401):
         ``("DG", 0)`` -> cell averages (ne, k);
         ``("P"|"CG", deg)`` -> continuous Lagrange L2 projection, returning
-        ``(FunctionSpace, dof values (nnodes, k))``."""
-        vals = self.material.data_manager.s1[name]
+        ``(FunctionSpace, dof values (nnodes, k))``.
+
+        Prefix collection (reference quadrature_map.py:377-387): if ``name``
+        is not an exact field, all fields starting with ``name`` are
+        collected (sorted) and stacked into one vector field — the way the
+        reference aggregates MFront array-valued ISVs whose bracketed names
+        were flattened (``p[0]`` -> ``p0`` ...). Array-valued ISVs stored
+        natively (crystal ``p`` (12,)) already project by exact name."""
+        import jax.numpy as jnp
+
+        s1 = self.material.data_manager.s1
+        try:
+            vals = s1[name]
+        except KeyError:
+            matches = sorted(k for k in s1.keys() if k.startswith(name))
+            if not matches:
+                raise KeyError(
+                    f"no state field named or prefixed '{name}' "
+                    f"(fields: {s1.keys()})"
+                ) from None
+            vals = jnp.concatenate(
+                [jnp.reshape(s1[k], (self.num_points, -1)) for k in matches],
+                axis=1,
+            )
         if kind[0] in ("DG", "dg") and kind[1] == 0:
             return np.asarray(project_dg0(self.domain, vals))
         if kind[0] in ("P", "CG", "Lagrange"):
