@@ -92,6 +92,58 @@ class QuadratureDomain:
             and mesh.cell_type in ("quad", "hexahedron")
         ):
             self._stencil = tuple(int(g) for g in mesh.grid)
+        # banded lane-gather engine on UNSTRUCTURED meshes / cell subsets
+        # (ops/banded_gather.py): plans built host-side here, Pallas kernels
+        # lazily on first TPU use; quality-gated so badly-numbered meshes
+        # (use fem/reorder.py) silently keep the gather-map path
+        self._banded = None
+        self._banded_takes = {}
+        if self._stencil is None and self.ne * self.ndof_el >= (1 << 13):
+            self._build_banded()
+
+    def _build_banded(self):
+        """Host-side banded-gather plans (cell-major gather, feature-major
+        gather, slot-wise assembly); kept only if the mesh numbering is banded
+        enough that windows stay small and patches rare."""
+        from ..ops import banded_gather as bg
+
+        dm = np.asarray(self.dofmap)
+        ndofs = self.space.num_dofs
+        plans = {
+            "cell": bg.plan_banded_take(dm.ravel(), ndofs, chunk=2048),
+            "fm": bg.plan_banded_take(dm.T.ravel(), ndofs, chunk=2048),
+            "asm": bg.plan_slotwise_assembly(dm, ndofs, chunk=1024),
+        }
+        ok = all(
+            p is not None and p.frac_patched < 0.02 and p.R <= 64
+            for p in plans.values()
+        )
+        if ok:
+            self._banded = plans
+
+    def _banded_take(self, key, table):
+        """Dispatch one planned take: Pallas on TPU, XLA fallback elsewhere."""
+        import jax as _jax
+
+        from ..ops import banded_gather as bg
+
+        plan = self._banded[key]
+        if _jax.default_backend() != "tpu":
+            return bg.banded_take_xla(table, plan)
+        dtype = jnp.asarray(table).dtype
+        fn = self._banded_takes.get((key, dtype))
+        if fn is None:
+            fn = bg.make_banded_take(plan, dtype)
+            self._banded_takes[(key, dtype)] = fn
+        return fn(table)
+
+    @property
+    def banded_active(self):
+        """True when the banded lane-gather engine serves this domain's
+        gather/assembly/SpMV (unstructured fast path)."""
+        import jax as _jax
+
+        return self._banded is not None and _jax.default_backend() == "tpu"
 
     _CORNERS_2D = ((0, 0), (1, 0), (1, 1), (0, 1))
     _CORNERS_3D = (
@@ -139,6 +191,9 @@ class QuadratureDomain:
                     vals[:, :, :, k]
                 )
             return y.reshape(-1)
+        if self.banded_active:
+            # assembly-as-gather over feature-major element values
+            return self._banded_take("asm", vals_e.T.reshape(-1))
         vals = jnp.concatenate(
             [vals_e.ravel(), jnp.zeros(1, vals_e.dtype)]
         )
@@ -166,6 +221,8 @@ class QuadratureDomain:
                 for (di, dj, dk) in self._CORNERS_3D
             ]
             return jnp.concatenate(parts, axis=1)
+        if self.banded_active:
+            return self._banded_take("cell", u).reshape(self.ne, self.ndof_el)
         return u[self.dofmap]
 
     def _cell_eval(self, expr, u_e, dNdx_c, x_c):
@@ -297,9 +354,14 @@ class QuadratureDomain:
         (docs/perf.md). One transpose per Newton iteration amortizes over the
         ~100 CG matvecs that reuse it. General domains return K_e unchanged.
         """
-        if self._stencil is None:
-            return K_e
         nd = self.ndof_el
+        if self._stencil is None:
+            if self.banded_active:
+                return (
+                    "bdfm",
+                    jnp.transpose(K_e, (1, 2, 0)).reshape(nd * nd, self.ne),
+                )
+            return K_e
         return ("fm", jnp.transpose(K_e, (1, 2, 0)).reshape(nd * nd, self.ne))
 
     def spmv(self, K_e, v):
@@ -309,6 +371,18 @@ class QuadratureDomain:
         gather-map assembly. No scatter anywhere."""
         v = jnp.asarray(v)
         nd = self.ndof_el
+        if isinstance(K_e, tuple) and K_e[0] == "bdfm":
+            # banded unstructured path: feature-major lane-gather -> per-row
+            # FMAs on (ne,) lanes -> slot-wise assembly-as-gather
+            Kf = K_e[1]
+            u = self._banded_take("fm", v).reshape(nd, self.ne)
+            y = [
+                sum(Kf[i * nd + j] * u[j] for j in range(nd))
+                for i in range(nd)
+            ]
+            return self._banded_take(
+                "asm", jnp.stack(y).reshape(-1)
+            ).astype(v.dtype)
         if isinstance(K_e, tuple) and K_e[0] == "fm":
             Kf = K_e[1]
             vr = self._gather_rows(v)

@@ -3,33 +3,31 @@
 TPU XLA lowers arbitrary ``v[idx]`` to SCALAR gathers (~0.5M elem/ms measured,
 ~300x off the HBM roofline — docs/perf.md "Assembly-free SpMV"); structured
 grids dodge this with shifted slices, but gmsh meshes and cell subsets cannot.
-This module exploits the only fast data-dependent-addressing primitive the VPU
+This module exploits the one fast data-dependent-addressing primitive the VPU
 has: the LANE gather (``take_along_axis(x (S,128), c, axis=1)`` -> Mosaic
 ``tpu.dynamic_gather``), gathering within 128-wide rows.
 
-Algorithm (host-planned, indices are static):
-- reorder the mesh so the dofmap is BANDED (fem/reorder.py: reverse
-  Cuthill-McKee + cells sorted by min dof);
-- chunk the (flattened) output slots; per chunk all indices then live in a
-  small WINDOW of consecutive 128-wide rows of the source vector (R rows,
-  R ~ bandwidth/128 + chunk extent);
-- kernel: stream the window rows in 8-row blocks (scalar-prefetched base per
-  chunk), and for each window row r: one lane-gather of the row broadcast
-  across sublanes + one select on (rloc == r). Work per output = O(R) VPU ops
-  — independent of problem size, no scalar gather anywhere.
-- out-of-window outliers (long-range mesh edges) are masked in the kernel and
+Algorithm (host-planned; FEM index sets are static):
+- reorder the mesh so the dofmap is BANDED (fem/reorder.py picks the best of
+  natural / RCM / coordinate orderings by measured element span);
+- chunk the output slots; per chunk and per index LAYER k, all indices live in
+  a small WINDOW of consecutive 128-wide table rows (own base per (chunk,
+  layer) — layers may address disjoint table regions, e.g. the per-slot
+  regions of feature-major element values);
+- kernel: 3D grid (chunk, layer, window-8-row-block); each step DMAs one
+  (8, 128) window block (scalar-prefetched base) and does 8 lane-gathers of
+  the broadcast row + selects on (rloc == row). Work per output = O(R) VPU
+  lane ops, R ~ bandwidth/128 — no scalar gather anywhere.
+- out-of-window outliers (long-range mesh edges) are masked in-kernel and
   patched afterwards by a tiny scalar gather over the recorded positions.
 
-``k_layers`` folds K index sets into one call with SUMMED contributions:
-out[n] = sum_k table[idx[n, k]] — this turns SCATTER-ADD assembly into a
-gather: for each local element slot i, the map "which cells contribute to dof
-d through slot i" is a (ndofs, k_i) gather into CELL space (bandwidth = cell
-bandwidth, same R), so residual assembly is one banded_take with K ~= max
-cells-per-dof, not a scatter.
-
-The reference gets all of this for free from PETSc/FFCx CSR assembly on CPU
-(reference dolfinx_materials/quadrature_map.py:1-14); on TPU the banded window
-structure is the equivalent of the CSR row cache.
+Layered index sets turn SCATTER-ADD assembly into a gather: for local element
+slot i, the inverse map "cells whose slot i touches dof d" is a few (ndofs,)
+layers indexing CELL space (bandwidth = cell bandwidth), so residual assembly
+is one banded take over feature-major (nd, ne) element values. The reference
+gets all of this for free from PETSc/FFCx CSR assembly on CPU (reference
+dolfinx_materials/quadrature_map.py:1-14); the banded window is the TPU
+equivalent of the CSR row cache.
 """
 
 from __future__ import annotations
@@ -48,31 +46,33 @@ SUB = 8  # window rows streamed per grid step
 class BandedTakePlan:
     """Host-side plan for out[n] = sum_k table[idx[n, k]] (static idx)."""
 
-    n_out: int  # real number of outputs
-    n_src: int  # real table length
+    n_out: int
+    n_src: int
     K: int
-    C: int  # outputs per chunk
-    S: int  # C // LANE
-    ns: int  # number of chunks
-    R: int  # window rows per chunk (multiple of SUB)
+    C: int
+    S: int
+    ns: int
+    R: int  # window rows per (chunk, layer), multiple of SUB
     nrows: int  # padded table rows
-    base8: jnp.ndarray  # (ns,) int32 window base in SUB-row units
+    base8: jnp.ndarray  # (ns, K) int32 window base in SUB-row units
     rloc: jnp.ndarray  # (ns, K, S, LANE) int32 window row, -1 = masked
     cloc: jnp.ndarray  # (ns, K, S, LANE) int32 lane column in [0, LANE)
     patch_pos: jnp.ndarray  # (npatch,) output positions of outliers
     patch_idx: jnp.ndarray  # (npatch,) table indices of outliers
     frac_patched: float
 
-    @property
-    def vmem_bytes(self):
-        return 4 * (SUB * LANE + (2 * self.K + 1) * self.S * LANE)
 
-
-def plan_banded_take(idx, n_src, chunk=4096, max_R=96) -> BandedTakePlan | None:
+def plan_banded_take(
+    idx, n_src, chunk=1024, max_R=64, max_patch_frac=0.20, row_quantile=0.99
+) -> BandedTakePlan | None:
     """Plan a banded take. ``idx``: (N,) or (N, K) int array, entries in
-    [0, n_src) or -1 (skip). Returns None only if the index set is so
-    unbanded that > 20% of entries would need patching (caller should fall
-    back to the scalar path)."""
+    [0, n_src) or -1 (skip). Each layer k gets its own per-chunk window.
+
+    ``row_quantile``: R is sized for this quantile of the window-row
+    distribution — a handful of long-range outliers (boundary slivers, long
+    mesh edges) then go to the scalar patch list instead of inflating every
+    chunk's window. Returns None if > ``max_patch_frac`` of entries would
+    need patching (index set too unbanded — caller falls back)."""
     idx = np.asarray(idx, dtype=np.int64)
     if idx.ndim == 1:
         idx = idx[:, None]
@@ -84,32 +84,43 @@ def plan_banded_take(idx, n_src, chunk=4096, max_R=96) -> BandedTakePlan | None:
     ns = N_pad // C
     idx_p = np.full((N_pad, K), -1, np.int64)
     idx_p[:N] = idx
-    chunks = idx_p.reshape(ns, C, K)
+    # (ns, K, C): per-chunk, per-layer index sets
+    chunks = idx_p.reshape(ns, C, K).transpose(0, 2, 1)
 
     valid = chunks >= 0
     big = np.where(valid, chunks, np.int64(1 << 60))
-    cmin = big.min(axis=(1, 2))
-    cmin = np.where(cmin == (1 << 60), 0, cmin)  # all-invalid chunk
-    base8 = (cmin // LANE) // SUB  # SUB-row aligned window base
+    # ROBUST window base: a low quantile, not the min — one long-range entry
+    # (boundary sliver cell) would otherwise drag the base down and inflate
+    # every other entry's window row; below-base entries get patched instead
+    srt = np.sort(big, axis=2)
+    lo_i = max(0, int(round((1.0 - row_quantile) * C)))
+    cmin = srt[:, :, lo_i]
+    cmin = np.where(cmin == (1 << 60), 0, cmin)
+    base8 = (cmin // LANE) // SUB
 
-    rel_row = chunks // LANE - (base8 * SUB)[:, None, None]
-    # outliers: rows beyond max_R (or invalid)
-    out_of_window = valid & (rel_row >= max_R)
-    R_needed = np.where(valid & ~out_of_window, rel_row, 0).max() + 1
-    R = int(-(-int(R_needed) // SUB) * SUB)
+    rel_row = chunks // LANE - (base8 * SUB)[:, :, None]
+    inside = valid & (rel_row >= 0)
+    if inside.any():
+        R_q = int(np.quantile(rel_row[inside], row_quantile)) + 1
+    else:
+        R_q = 1
+    R = min(int(max_R), -(-R_q // SUB) * SUB)
+    out_of_window = valid & ((rel_row < 0) | (rel_row >= R))
 
     keep = valid & ~out_of_window
     rloc = np.where(keep, rel_row, -1).astype(np.int32)
     cloc = np.where(keep, chunks % LANE, 0).astype(np.int32)
 
-    pos_flat = np.nonzero(out_of_window.reshape(N_pad, K))
+    # outlier patch list: (output position, table index)
+    oow = out_of_window.transpose(0, 2, 1).reshape(N_pad, K)
+    pos_flat = np.nonzero(oow)
     patch_pos = pos_flat[0].astype(np.int32)
     patch_idx = idx_p[pos_flat[0], pos_flat[1]].astype(np.int32)
-    frac = len(patch_pos) / max(1, N * K)
-    if frac > 0.20:
+    frac = len(patch_pos) / max(1, int(valid.sum()))
+    if frac > max_patch_frac:
         return None
 
-    nrows = -(-n_src // LANE) + R + SUB  # slack so windows never run off
+    nrows = -(-n_src // LANE) + R + SUB
     nrows = -(-nrows // SUB) * SUB
     return BandedTakePlan(
         n_out=N,
@@ -121,8 +132,8 @@ def plan_banded_take(idx, n_src, chunk=4096, max_R=96) -> BandedTakePlan | None:
         R=R,
         nrows=nrows,
         base8=jnp.asarray(base8.astype(np.int32)),
-        rloc=jnp.asarray(rloc.reshape(ns, C, K).transpose(0, 2, 1).reshape(ns, K, S, LANE)),
-        cloc=jnp.asarray(cloc.reshape(ns, C, K).transpose(0, 2, 1).reshape(ns, K, S, LANE)),
+        rloc=jnp.asarray(rloc.reshape(ns, K, S, LANE)),
+        cloc=jnp.asarray(cloc.reshape(ns, K, S, LANE)),
         patch_pos=jnp.asarray(patch_pos),
         patch_idx=jnp.asarray(patch_idx),
         frac_patched=frac,
@@ -137,15 +148,16 @@ def _apply_patches(plan: BandedTakePlan, out_flat, table):
 
 def banded_take_xla(table, plan: BandedTakePlan):
     """Reference/CPU implementation (scalar gather; used on non-TPU backends
-    and as the correctness oracle)."""
+    and as the correctness oracle in tests)."""
     table = jnp.asarray(table)
     rl = plan.rloc.reshape(plan.ns, plan.K, -1)
     cl = plan.cloc.reshape(plan.ns, plan.K, -1)
-    gidx = (plan.base8[:, None, None] * SUB + rl) * LANE + cl
+    gidx = (plan.base8[:, :, None] * SUB + rl) * LANE + cl
     vals = jnp.where(
-        rl >= 0, jnp.take(table, jnp.clip(gidx, 0, plan.n_src - 1), mode="clip"), 0.0
+        rl >= 0,
+        jnp.take(table, jnp.clip(gidx, 0, plan.n_src - 1), mode="clip"),
+        0.0,
     )
-    # gidx can exceed n_src only via masked slots; clip keeps take() in range
     out = vals.sum(axis=1).reshape(plan.ns, plan.S, LANE)
     out_flat = out.reshape(-1)[: plan.n_out]
     return _apply_patches(plan, out_flat, table)
@@ -154,45 +166,45 @@ def banded_take_xla(table, plan: BandedTakePlan):
 def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
     """Compiled Pallas kernel: ``take(table (n_src,)) -> (n_out,)``.
 
-    Grid (ns, R // SUB); per step one (SUB, LANE) window block of the padded
-    table is DMAed (base row per chunk via scalar prefetch), the chunk's index
-    blocks stay VMEM-resident across steps (their index_map ignores the inner
-    grid axis), and the output block accumulates in VMEM.
+    3D grid (chunk, layer, window-block). Per step one (SUB, LANE) window
+    block of the padded table is DMAed at the (chunk, layer) scalar-prefetched
+    base; the (chunk, layer) index blocks are VMEM-cached across the inner
+    axis, and the output block accumulates in VMEM across (layer, block).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     K, S, R = plan.K, plan.S, plan.R
-    ns, nrows = plan.ns, plan.nrows
+    ns = plan.ns
     QSTEPS = R // SUB
 
     def kernel(base_ref, win_ref, r_ref, c_ref, o_ref):
-        q = pl.program_id(1)
+        k = pl.program_id(1)
+        q = pl.program_id(2)
 
-        @pl.when(q == 0)
+        @pl.when(jnp.logical_and(k == 0, q == 0))
         def _init():
             o_ref[...] = jnp.zeros_like(o_ref)
 
         win = win_ref[...]  # (SUB, LANE)
-        acc = o_ref[0]  # (S, LANE)
-        for k in range(K):
-            c = c_ref[0, k]  # (S, LANE)
-            r = r_ref[0, k]
-            for a in range(SUB):
-                x = jnp.broadcast_to(win[a][None, :], (S, LANE))
-                cand = jnp.take_along_axis(x, c, axis=1)
-                acc = acc + jnp.where(r == q * SUB + a, cand, 0.0)
+        r = r_ref[0, 0]  # (S, LANE)
+        c = c_ref[0, 0]
+        acc = o_ref[0]
+        for a in range(SUB):
+            x = jnp.broadcast_to(win[a][None, :], (S, LANE))
+            cand = jnp.take_along_axis(x, c, axis=1)
+            acc = acc + jnp.where(r == q * SUB + a, cand, 0.0)
         o_ref[0] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ns, QSTEPS),
+        grid=(ns, K, QSTEPS),
         in_specs=[
-            pl.BlockSpec((SUB, LANE), lambda s, q, base: (base[s] + q, 0)),
-            pl.BlockSpec((1, K, S, LANE), lambda s, q, base: (s, 0, 0, 0)),
-            pl.BlockSpec((1, K, S, LANE), lambda s, q, base: (s, 0, 0, 0)),
+            pl.BlockSpec((SUB, LANE), lambda s, k, q, base: (base[s, k] + q, 0)),
+            pl.BlockSpec((1, 1, S, LANE), lambda s, k, q, base: (s, k, 0, 0)),
+            pl.BlockSpec((1, 1, S, LANE), lambda s, k, q, base: (s, k, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, S, LANE), lambda s, q, base: (s, 0, 0)),
+        out_specs=pl.BlockSpec((1, S, LANE), lambda s, k, q, base: (s, 0, 0)),
     )
 
     call = pl.pallas_call(
@@ -206,7 +218,9 @@ def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
 
     def take(table):
         table = jnp.asarray(table, dtype)
-        tp = jnp.concatenate([table, jnp.zeros(pad, dtype)]).reshape(nrows, LANE)
+        tp = jnp.concatenate([table, jnp.zeros(pad, dtype)]).reshape(
+            plan.nrows, LANE
+        )
         out = call(plan.base8, tp, plan.rloc, plan.cloc)
         return _apply_patches(plan, out.reshape(-1)[: plan.n_out], table)
 
@@ -224,29 +238,88 @@ def banded_take(table, plan: BandedTakePlan, interpret=False):
 # Assembly-as-gather planning: the transpose of a dofmap scatter
 # --------------------------------------------------------------------------
 
-def plan_slotwise_assembly(dofmap, ndofs, chunk=4096, max_R=96):
+def plan_slotwise_assembly(
+    dofmap, ndofs, chunk=1024, max_R=64, k_quantile=0.99
+):
     """Plan scatter-add assembly y[dm[e, i]] += vals[i, e] as ONE banded take.
 
     ``vals`` is expected FEATURE-MAJOR (nd, ne) flattened. For each local slot
-    i, the inverse map "cells whose slot i hits dof d" is (ndofs, k_i) in CELL
-    space; offsetting slot i's cell indices by i*ne keeps each slot's band
-    intact in the flat table. Returns (plan, K_total) or None.
+    i, the inverse map "cells whose slot i hits dof d" gives k_i layers of
+    (ndofs,) indices into CELL space; offsetting slot i's layers by i*ne
+    addresses the flat table, and each layer carries its own per-chunk window
+    base so the slot regions stay independent.
+
+    ``k_quantile``: layer count per slot is sized for this quantile of the
+    per-dof occurrence counts — the few max-valence vertices spill their
+    excess occurrences into the scalar patch list rather than adding a
+    near-empty layer to every chunk. Returns the plan or None.
     """
     dm = np.asarray(dofmap)
     ne, nd = dm.shape
-    per_slot = []
-    kmax_total = 0
+    layers = []
+    extra_pos, extra_idx = [], []
     for i in range(nd):
         col = dm[:, i]
         order = np.argsort(col, kind="stable")
         sorted_d = col[order]
         counts = np.bincount(sorted_d, minlength=ndofs)
-        k_i = int(counts.max()) if ne else 0
-        gm = np.full((ndofs, k_i), -1, np.int64)
+        k_full = int(counts.max()) if ne else 0
+        k_i = max(1, int(np.quantile(counts[counts > 0], k_quantile))) if ne else 0
+        k_i = min(k_i, k_full)
+        gm = np.full((ndofs, k_full), -1, np.int64)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(ne) - np.repeat(starts, counts)
-        gm[sorted_d, within] = order + i * ne  # offset into flat (nd, ne)
-        per_slot.append(gm)
-        kmax_total += k_i
-    idx = np.concatenate(per_slot, axis=1)  # (ndofs, K_total)
-    return plan_banded_take(idx, nd * ne, chunk=chunk, max_R=max_R)
+        gm[sorted_d, within] = order + i * ne
+        if k_i < k_full:
+            # overflow occurrences -> patch list
+            ov_d, ov_k = np.nonzero(gm[:, k_i:] >= 0)
+            extra_pos.append(ov_d.astype(np.int32))
+            extra_idx.append(gm[ov_d, k_i + ov_k].astype(np.int32))
+            gm = gm[:, :k_i]
+        layers.append(gm)
+    idx = np.concatenate(layers, axis=1)  # (ndofs, sum_i k_i)
+    plan = plan_banded_take(idx, nd * ne, chunk=chunk, max_R=max_R)
+    if plan is not None and extra_pos:
+        plan.patch_pos = jnp.concatenate(
+            [plan.patch_pos] + [jnp.asarray(p) for p in extra_pos]
+        )
+        plan.patch_idx = jnp.concatenate(
+            [plan.patch_idx] + [jnp.asarray(p) for p in extra_idx]
+        )
+    return plan
+
+
+def balance_cell_slots(cells, cell_type):
+    """Cyclically rotate each cell's vertex list to even out how often each
+    vertex lands in each LOCAL slot — the per-slot assembly layer count k_i
+    then drops from max-valence toward valence/nloc, directly cutting the
+    assembly kernel's layer loop. Orientation-preserving (cyclic) rotations
+    only, so the element geometry stays valid for every cell type; greedy
+    over cells, O(ne * nloc^2) host-side.
+    """
+    cells = np.asarray(cells)
+    ne, nv = cells.shape
+    if cell_type in ("tetrahedron",):
+        # cyclic rotations of a tet permute faces but keep orientation only
+        # for even permutations; rotations by 1 are odd for 4 vertices — use
+        # the 3-cycles fixing vertex 0 plus identity (even permutations)
+        perms = [
+            (0, 1, 2, 3),
+            (0, 2, 3, 1),
+            (0, 3, 1, 2),
+            (1, 0, 3, 2),
+        ]
+    else:
+        perms = [tuple(np.roll(np.arange(nv), -r)) for r in range(nv)]
+    slot_count = np.zeros((cells.max() + 1, nv), np.int64)
+    out = np.empty_like(cells)
+    for e in range(ne):
+        best, best_cost = None, None
+        for p in perms:
+            vs = cells[e, list(p)]
+            cost = slot_count[vs, np.arange(nv)].max()
+            if best_cost is None or cost < best_cost:
+                best, best_cost = vs, cost
+        out[e] = best
+        slot_count[best, np.arange(nv)] += 1
+    return out
