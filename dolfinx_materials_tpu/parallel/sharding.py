@@ -659,3 +659,545 @@ def make_sharded_newton_step(
     step.pad_state = pad_state
     step.unpad_state = unpad_state
     return jax.jit(step, static_argnames=()), pad_state
+
+
+def make_sharded_newton_step_general(
+    problem,
+    mesh: Mesh,
+    axis="cells",
+    n_newton=10,
+    n_cg=100,
+    n_backtracks=10,
+    rtol=None,
+    atol=0.0,
+):
+    """Fully-fused sharded Newton step for GENERAL problems (VERDICT r2 item 3).
+
+    Where :func:`make_sharded_newton_step` hard-codes the single-material
+    flux.dgrad mechanics signature, this builder closes over a
+    ``NonlinearMaterialProblem``'s full term structure and supports:
+
+    - MULTIPLE gradients and expression-valued external state variables
+      (thermal problems: TemperatureGradient + Temperature ESV);
+    - arbitrary residual terms ``sum_k scale_k * \\int field_k . expr_k(du)``
+      where field_k is a flux OR an internal state variable (the transient
+      enthalpy theta-scheme), with per-call traced scales;
+    - every declared tangent block (flux x gradient, ISV x gradient/ESV)
+      sliced from the material's packed forward-mode Jacobian;
+    - constant material-frame ROTATIONS (global->material (3,3), the
+      reference's MGIS rotation path, mfront.py:336-343);
+    - MULTI-MATERIAL cell subsets: one qmap per subset, each subset's cells
+      padded and sharded over the same mesh axis, contributions partial-
+      assembled per device and psum'd once;
+    - unstructured (gmsh) meshes — no stencil assumption anywhere (dofmap
+      gathers per shard).
+
+    Returns ``step(u, states, bc_mask, bc_vals, dt=0.0, scales=None,
+    f_ext=None) -> (u_new, new_states, res_norm)`` with ``states`` a list of
+    per-qmap internal-state pytrees (padded via the returned ``pad_states``)
+    and ``scales`` a list (per qmap) of lists of term scales.
+
+    Dof vectors are replicated (the dof-sharded layout stays with the
+    specialized flagship step); the CG is Jacobi-preconditioned — mesh-
+    agnostic, where the two-level correction assumes a structured grid.
+    """
+    import numpy as _np
+
+    from ..fem.forms import Ctx
+
+    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
+    ndev = _axis_size(mesh, axis)
+    ndofs = problem.u.space.num_dofs
+    if rtol is None:
+        rtol = 1e-10 if float(jnp.finfo(jnp.zeros(0).dtype).eps) < 1e-9 else 1e-6
+
+    # ---- per-qmap static structure --------------------------------------
+    qinfos = []
+    for t in problem._terms:
+        qmap = t["qmap"]
+        dom = qmap.domain
+        material = qmap.material
+        dNdx, ne_real = pad_to_multiple(_np.asarray(dom.dNdx), ndev)
+        wdetJ, _ = pad_to_multiple(_np.asarray(dom.wdetJ), ndev)
+        x_q, _ = pad_to_multiple(_np.asarray(dom.x_q), ndev)
+        dofmap, _ = pad_to_multiple(_np.asarray(dom.dofmap), ndev)
+        init_tpl = material.behavior.init_state()
+
+        # tangent structure: (term k, input expr, block key) with block slices
+        tstruct = []
+        for (k, by, bx) in t["block_keys"]:
+            x_expr = qmap.gradient_exprs.get(bx) or qmap.esv_exprs.get(bx)
+            sl, sy, sx = qmap._block_slices[(by, bx)]
+            tstruct.append((k, x_expr, sl, sy, sx))
+
+        # field extraction: term field is a flux (slice of flux_flat) or ISV
+        from ..state import _slices as _mk_slices
+
+        flux_slices = _mk_slices(material.fluxes)
+        field_getters = []
+        for name in t["field_names"]:
+            if name in flux_slices:
+                field_getters.append(("flux", flux_slices[name]))
+            else:
+                field_getters.append(("isv", name))
+
+        # differentiable inputs: gradients then ESVs (Material._in_slices
+        # order); expression-valued ESVs evaluated per point, constant ESVs
+        # passed as sharded arrays
+        grad_exprs = [qmap.gradient_exprs[g] for g in material.gradient_names]
+        esv_entries = []  # (name, size, "expr"/"const")
+        for name, size in material.external_state_variables.items():
+            kind = "expr" if name in qmap.esv_exprs else "const"
+            esv_entries.append((name, size, kind))
+        esv_exprs = {n: qmap.esv_exprs[n] for n, _, k in esv_entries if k == "expr"}
+
+        if material.rotation_matrix is not None:
+            R = _np.asarray(material.rotation_matrix)
+            assert R.shape == (3, 3), (
+                "fused general step supports constant (3,3) rotations"
+            )
+
+        qinfos.append(
+            dict(
+                qmap=qmap,
+                material=material,
+                dom=dom,
+                ne_real=ne_real,
+                ne_pad=dNdx.shape[0],
+                tables=(
+                    jnp.asarray(dNdx),
+                    jnp.asarray(wdetJ),
+                    jnp.asarray(x_q),
+                    jnp.asarray(dofmap),
+                ),
+                init_tpl=init_tpl,
+                exprs=t["exprs"],
+                nterms=len(t["exprs"]),
+                tstruct=tstruct,
+                field_getters=field_getters,
+                grad_exprs=grad_exprs,
+                esv_entries=esv_entries,
+                esv_exprs=esv_exprs,
+                nq=dom.nq,
+                nloc=dom.nloc,
+                ncomp=dom.ncomp,
+                N_tab=dom.N,
+            )
+        )
+
+    def pad_states(states):
+        out = []
+        for qi, st in zip(qinfos, states):
+            npts = qi["ne_pad"] * qi["nq"]
+
+            def pad_leaf(a, tpl):
+                a = jnp.asarray(a)
+                pad = npts - a.shape[0]
+                if pad == 0:
+                    return a
+                fill = jnp.broadcast_to(
+                    jnp.asarray(tpl, a.dtype), (pad,) + a.shape[1:]
+                )
+                return jnp.concatenate([a, fill])
+
+            out.append(jax.tree.map(pad_leaf, st, qi["init_tpl"]))
+        return out
+
+    # ---- per-qmap local kernels (shard-local tables) --------------------
+    def make_local(qi):
+        material = qi["material"]
+        nloc, ncomp, nq = qi["nloc"], qi["ncomp"], qi["nq"]
+        N_tab = qi["N_tab"]
+        grad_exprs, esv_entries = qi["grad_exprs"], qi["esv_entries"]
+        esv_exprs = qi["esv_exprs"]
+        exprs, tstruct = qi["exprs"], qi["tstruct"]
+        field_getters = qi["field_getters"]
+        in_slices = material._in_slices
+        point_update = material._point_update
+        point_flux = material._point_flux
+        fast_update = material._fast_update
+        fast_flux = material._fast_flux
+        has_esv = bool(esv_entries)
+        has_props = bool(getattr(material.behavior, "material_properties", {}))
+
+        def cell_eval(expr, ue, d, x):
+            un = ue.reshape(nloc, ncomp)
+            u_q = N_tab @ un
+            g_q = jnp.einsum("qvi,vc->qci", d, un)
+            return jax.vmap(lambda u_, g_, x_: expr(Ctx(u_, g_, x_)))(u_q, g_q, x)
+
+        def point_inputs(u_e, dNdx_l, x_q_l, esv_const):
+            """Per-shard (npts_l, n_inputs) differentiable input batch."""
+            parts = []
+            for expr in grad_exprs:
+                g = jax.vmap(lambda ue, d, x: cell_eval(expr, ue, d, x))(
+                    u_e, dNdx_l, x_q_l
+                )
+                parts.append(g.reshape(g.shape[0] * nq, -1))
+            for name, size, kind in esv_entries:
+                if kind == "expr":
+                    g = jax.vmap(
+                        lambda ue, d, x: cell_eval(esv_exprs[name], ue, d, x)
+                    )(u_e, dNdx_l, x_q_l)
+                    parts.append(g.reshape(g.shape[0] * nq, -1))
+                else:
+                    parts.append(esv_const[name])
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+        def apply_rot(x, slices, sizes, transpose, n):
+            if material.rotation_matrix is None:
+                return x
+            ops = material._rotation_ops(n, x.dtype)
+            return material._rotate_cols(x, slices, sizes, ops, transpose)
+
+        from ..state import _slices as _mk_slices
+
+        def integrate_local(x, state_l, props_l, dt):
+            n = x.shape[0]
+            x = apply_rot(x, in_slices, material._input_sizes, False, n)
+            if fast_update is not None:
+                flux, Ct, new_state = fast_update(x, state_l, dt)
+                Ct = Ct.reshape(n, -1)
+            else:
+                flux, Ct, new_state = jax.vmap(
+                    lambda xi, pi, si: point_update(xi, pi, si, dt)
+                )(x, props_l, state_l)
+            if material.rotation_matrix is not None:
+                ops = material._rotation_ops(n, x.dtype)
+                flux = material._rotate_cols(
+                    flux, _mk_slices(material.fluxes), material.fluxes, ops, True
+                )
+                Ct = material._rotate_tangent(Ct, ops)
+            return flux, Ct, new_state
+
+        def flux_local(x, state_l, props_l, dt):
+            n = x.shape[0]
+            x = apply_rot(x, in_slices, material._input_sizes, False, n)
+            if fast_flux is not None:
+                flux, new_state = fast_flux(x, state_l, dt)
+            elif fast_update is not None:
+                flux, _, new_state = fast_update(x, state_l, dt)
+            else:
+                flux, new_state = jax.vmap(
+                    lambda xi, pi, si: point_flux(xi, pi, si, dt)
+                )(x, props_l, state_l)
+            if material.rotation_matrix is not None:
+                ops = material._rotation_ops(n, x.dtype)
+                flux = material._rotate_cols(
+                    flux, _mk_slices(material.fluxes), material.fluxes, ops, True
+                )
+            return flux, new_state
+
+        def fields_from(flux, new_state, ne_l):
+            out = []
+            for kind, key in field_getters:
+                if kind == "flux":
+                    f = flux[:, key]
+                else:
+                    f = jnp.reshape(new_state[key], (flux.shape[0], -1))
+                out.append(f.reshape(ne_l, nq, -1))
+            return out
+
+        def residual_cells(u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, scales):
+            def cell_r(ue, d, x, w, flds):
+                def work(w_):
+                    tot = 0.0
+                    for sc, expr, fl in zip(scales, exprs, flds):
+                        g = cell_eval(expr, w_, d, x)
+                        tot = tot + sc * jnp.sum(w[:, None] * g * fl)
+                    return tot
+
+                return jax.grad(work)(ue)
+
+            return jax.vmap(cell_r)(u_e, dNdx_l, x_q_l, wdetJ_l, fields_e)
+
+        def matrices_cells(u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, Ct, scales):
+            ne_l = u_e.shape[0]
+            Cs = [
+                (Ct[:, sl].reshape(ne_l, nq, sy, sx), k)
+                for (k, _, sl, sy, sx) in tstruct
+            ]
+
+            def cell_K(ue, d, x, w, flds, *Cblocks):
+                Bcache = {}
+
+                def B_of(expr):
+                    key = id(expr)
+                    if key not in Bcache:
+                        Bcache[key] = jax.jacfwd(
+                            lambda w_: cell_eval(expr, w_, d, x)
+                        )(ue)
+                    return Bcache[key]
+
+                ndof_el = nloc * ncomp
+                K = jnp.zeros((ndof_el, ndof_el), ue.dtype)
+                for (kterm, x_expr, sl, sy, sx), C in zip(tstruct, Cblocks):
+                    By = B_of(exprs[kterm])
+                    Bx = B_of(x_expr)
+                    K = K + scales[kterm] * jnp.einsum(
+                        "qai,qab,qbj,q->ij", By, C, Bx, w
+                    )
+
+                def work(w_):
+                    tot = 0.0
+                    for sc, expr, fl in zip(scales, exprs, flds):
+                        g = cell_eval(expr, w_, d, x)
+                        tot = tot + sc * jnp.sum(w[:, None] * g * fl)
+                    return tot
+
+                return K + jax.hessian(work)(ue)
+
+            return jax.vmap(cell_K)(
+                u_e, dNdx_l, x_q_l, wdetJ_l, fields_e, *[c for c, _ in Cs]
+            )
+
+        return dict(
+            point_inputs=point_inputs,
+            integrate=integrate_local,
+            flux=flux_local,
+            fields_from=fields_from,
+            residual_cells=residual_cells,
+            matrices_cells=matrices_cells,
+            has_props=has_props,
+        )
+
+    locals_ = [make_local(qi) for qi in qinfos]
+    nmats = len(qinfos)
+
+    # ---- sharded constant per-point data (ESV consts, props) ------------
+    def shard_consts():
+        esv_c, props_c = [], []
+        for qi in qinfos:
+            material = qi["material"]
+            npts = qi["ne_pad"] * qi["nq"]
+            npts_real = qi["ne_real"] * qi["nq"]
+            d = {}
+            for name, size, kind in qi["esv_entries"]:
+                if kind != "const":
+                    continue
+                v = material.external_state.get(name)
+                arr = (
+                    material._to_batched(v, npts_real, size)
+                    if v is not None
+                    else jnp.zeros((npts_real, size))
+                )
+                # pad with the LAST real value, not zeros: a zeroed ESV
+                # (e.g. Temperature) can push padded points into unphysical
+                # regimes that NaN before the zero weight masks them
+                d[name] = jnp.concatenate(
+                    [
+                        arr,
+                        jnp.broadcast_to(
+                            arr[-1:], (npts - npts_real, size)
+                        ),
+                    ]
+                )
+            esv_c.append(d)
+            p = {}
+            declared = getattr(material.behavior, "material_properties", {})
+            for name, size in declared.items():
+                v = material.material_property_values.get(name)
+                if v is None:
+                    raise ValueError(f"material property '{name}' not set")
+                arr = material._to_batched(v, npts_real, size)
+                arr = jnp.concatenate(
+                    [arr, jnp.broadcast_to(arr[-1:], (npts - npts_real, size))]
+                )
+                p[name] = arr[:, 0] if size == 1 else arr
+            props_c.append(p)
+        return esv_c, props_c
+
+    esv_consts, props_consts = shard_consts()
+
+    P_ax, P_rep = P(axis), P()
+    table_specs = tuple((P_ax,) * 4 for _ in qinfos)
+    state_specs = tuple(P_ax for _ in qinfos)
+    esv_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in esv_consts)
+    prop_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in props_consts)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P_rep,  # u
+            table_specs,
+            state_specs,
+            esv_specs,
+            prop_specs,
+            P_rep,  # bc_mask
+            P_rep,  # bc_vals
+            P_rep,  # dt
+            P_rep,  # scales (flat tuple)
+            P_rep,  # f_ext
+        ),
+        out_specs=(P_rep, tuple(P_ax for _ in qinfos), P_rep),
+    )
+    def _step(u, tables, states, esv_c, props_c, bc_mask, bc_vals, dt,
+              scales_flat, f_ext):
+        def norm(v):
+            return jnp.sqrt(jnp.vdot(v, v))
+
+        # unflatten per-qmap scales
+        scales = []
+        pos = 0
+        for qi in qinfos:
+            scales.append(scales_flat[pos : pos + qi["nterms"]])
+            pos += qi["nterms"]
+
+        u = jnp.where(bc_mask, bc_vals, u)
+
+        def assemble(dofmap_l, vals_e, dtype):
+            part = jnp.zeros(ndofs, dtype).at[dofmap_l.ravel()].add(
+                vals_e.ravel()
+            )
+            return part  # psum'd by the caller once over all qmaps
+
+        def evaluate(u_):
+            """Full update: residual + element matrices + states, all qmaps."""
+            R_part = jnp.zeros(ndofs, u_.dtype)
+            K_es, new_states = [], []
+            for qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc, sc in zip(
+                qinfos, locals_, tables, states, esv_c, props_c, scales
+            ):
+                u_e = u_[dofmap_l]
+                x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
+                flux, Ct, st_new = lk["integrate"](x, st_l, pc, dt)
+                fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
+                r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
+                K_e = lk["matrices_cells"](
+                    u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, Ct, sc
+                )
+                R_part = R_part + assemble(dofmap_l, r_e, u_.dtype)
+                K_es.append(K_e)
+                new_states.append(st_new)
+            R = jax.lax.psum(R_part, axis) - f_ext
+            R = jnp.where(bc_mask, 0.0, R)
+            return R, K_es, new_states
+
+        def residual_norm(u_):
+            R_part = jnp.zeros(ndofs, u_.dtype)
+            for qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc, sc in zip(
+                qinfos, locals_, tables, states, esv_c, props_c, scales
+            ):
+                u_e = u_[dofmap_l]
+                x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
+                flux, st_new = lk["flux"](x, st_l, pc, dt)
+                fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
+                r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
+                R_part = R_part + assemble(dofmap_l, r_e, u_.dtype)
+            R = jax.lax.psum(R_part, axis) - f_ext
+            return norm(jnp.where(bc_mask, 0.0, R))
+
+        def newton_update(u, R, K_es, res_norm):
+            diag = jnp.zeros(ndofs, u.dtype)
+            for tbl, K_e in zip(tables, K_es):
+                dofmap_l = tbl[3]
+                diag = diag + jnp.zeros(ndofs, u.dtype).at[
+                    dofmap_l.ravel()
+                ].add(jnp.diagonal(K_e, axis1=1, axis2=2).ravel())
+            diag = jax.lax.psum(diag, axis)
+            diag = jnp.where(bc_mask | (jnp.abs(diag) < 1e-30), 1.0, diag)
+
+            def Av(v):
+                v0 = jnp.where(bc_mask, 0.0, v)
+                y = jnp.zeros(ndofs, v.dtype)
+                for (dNdx_l, wdetJ_l, x_q_l, dofmap_l), K_e in zip(tables, K_es):
+                    y_e = jnp.einsum("eij,ej->ei", K_e, v0[dofmap_l])
+                    y = y + assemble(dofmap_l, y_e, v.dtype)
+                y = jax.lax.psum(y, axis)
+                return jnp.where(bc_mask, v, y)
+
+            b = jnp.where(bc_mask, 0.0, -R)
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            z0 = r0 / diag
+            p0 = z0
+
+            def cg_body(k, cg):
+                x, r, z, p, rz = cg
+                Ap = Av(p)
+                den = jnp.vdot(p, Ap)
+                alpha = jnp.where(jnp.abs(den) > 1e-30, rz / den, 0.0)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = r / diag
+                rz_new = jnp.vdot(r, z)
+                beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+                return (x, r, z, p * beta + z, rz_new)
+
+            du, *_ = jax.lax.fori_loop(
+                0, n_cg, cg_body, (x0, r0, z0, p0, jnp.vdot(r0, z0))
+            )
+
+            def ls_cond(c):
+                alpha, n_try, k = c
+                bad = jnp.logical_or(
+                    ~jnp.isfinite(n_try), n_try >= (1 - 1e-4 * alpha) * res_norm
+                )
+                return jnp.logical_and(bad, k < n_backtracks)
+
+            def ls_body(c):
+                alpha, _, k = c
+                alpha = alpha * 0.5
+                return (alpha, residual_norm(u + alpha * du), k + 1)
+
+            n1 = residual_norm(u + du)
+            alpha, n_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (1.0, n1, 0))
+            take = jnp.isfinite(n_fin) & (n_fin < res_norm)
+            return jnp.where(take, u + alpha * du, u)
+
+        R, K_es, st_out = evaluate(u)
+        res = norm(R)
+        res0 = jnp.maximum(res, 1e-30)
+
+        def newton_body(carry):
+            u, R, K_es, sts, res, it = carry
+            u_new = newton_update(u, R, K_es, res)
+            R_new, K_new, st_new = evaluate(u_new)
+            return (u_new, R_new, K_new, st_new, norm(R_new), it + 1)
+
+        def newton_cond(carry):
+            _, _, _, _, res_prev, it = carry
+            return jnp.logical_and(it < n_newton, res_prev > rtol * res0 + atol)
+
+        u, R, K_es, st_out, res_norm_f, _ = jax.lax.while_loop(
+            newton_cond, newton_body, (u, R, K_es, st_out, res, 0)
+        )
+        return u, tuple(st_out), res_norm_f
+
+    def unpad_states(states):
+        out = []
+        for qi, st in zip(qinfos, states):
+            npts = qi["ne_real"] * qi["nq"]
+            out.append(jax.tree.map(lambda a: a[:npts], st))
+        return out
+
+    def step(u, states, bc_mask, bc_vals, dt=0.0, scales=None, f_ext=None):
+        states_p = pad_states(states)
+        u = jnp.asarray(u)
+        if scales is None:
+            scales = [
+                [problem._scale_value(s) for s in t["scales"]]
+                for t in problem._terms
+            ]
+        scales_flat = tuple(
+            jnp.asarray(s, u.dtype) for ss in scales for s in ss
+        )
+        f_ext = (
+            jnp.zeros(ndofs, u.dtype) if f_ext is None else jnp.asarray(f_ext)
+        )
+        u_new, new_states, rn = _step(
+            u,
+            tuple(qi["tables"] for qi in qinfos),
+            tuple(states_p),
+            tuple(esv_consts),
+            tuple(props_consts),
+            jnp.asarray(bc_mask),
+            jnp.asarray(bc_vals, u.dtype),
+            jnp.asarray(dt, u.dtype),
+            scales_flat,
+            f_ext,
+        )
+        return u_new, unpad_states(new_states), rn
+
+    return jax.jit(step), pad_states

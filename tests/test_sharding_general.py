@@ -1,0 +1,240 @@
+"""Generalized fused sharded Newton step (VERDICT r2 item 3): thermal
+problems (ESV + non-default residual terms), multi-material cell subsets,
+rotations, and unstructured (gmsh-class) meshes — all matching the host
+solver on the virtual 8-device mesh."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dolfinx_materials_tpu import Material, NonlinearMaterialProblem, QuadratureMap
+from dolfinx_materials_tpu.fem import (
+    DirichletBC,
+    Function,
+    FunctionSpace,
+    create_rectangle,
+    create_unit_square,
+    locate_dofs_geometrical,
+    reorder_mesh,
+)
+from dolfinx_materials_tpu.fem.bc import combine_bcs
+from dolfinx_materials_tpu.fem.forms import (
+    mandel_strain_2d,
+    scalar_gradient,
+    scalar_value,
+)
+from dolfinx_materials_tpu.models import (
+    LinearElasticIsotropic,
+    LinearHardening,
+    NonlinearHeatTransfer,
+    VoceHardening,
+    vonMisesIsotropicHardening,
+)
+from dolfinx_materials_tpu.parallel import (
+    device_mesh,
+    make_sharded_newton_step_general,
+)
+
+E, nu, sig0 = 70e3, 0.3, 350.0
+
+
+def mech_bcs(V, exx):
+    left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+    return [DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), DirichletBC(right, exx)]
+
+
+def test_general_step_thermal_esv():
+    """Stationary nonlinear conduction: TemperatureGradient gradient + the
+    Temperature ESV (an expression of u) + a non-default residual term —
+    the signature the specialized fused step cannot express."""
+    cmesh = device_mesh(8)
+    A, B = 0.0375, 2.165e-4
+    T0, T1 = 300.0, 800.0
+    mesh = create_rectangle((0, 0), (1.0, 0.2), (10, 3), "quad")
+    V = FunctionSpace(mesh, 1, ())
+
+    def build():
+        mat = Material(NonlinearHeatTransfer(A=A, B=B, dim=2))
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("TemperatureGradient", scalar_gradient())
+        qmap.register_external_state_variable("Temperature", scalar_value())
+        left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0.0))
+        right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1.0))
+        bcs = [DirichletBC(left, T0), DirichletBC(right, T1)]
+        T = Function(V)
+        T.x[:] = T0
+        prob = NonlinearMaterialProblem(
+            qmap,
+            T,
+            bcs=bcs,
+            residual_terms=[[("HeatFlux", scalar_gradient())]],
+            options={"ksp_type": "lu", "atol": 1e-8},
+        )
+        return mat, qmap, bcs, T, prob
+
+    mat1, qmap1, bcs1, T1f, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    mat2, qmap2, bcs2, T2f, prob2 = build()
+    step, _ = make_sharded_newton_step_general(
+        prob2, cmesh, n_newton=12, n_cg=200
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u0 = np.full(V.num_dofs, T0)
+    u0[mask] = vals[mask]
+    u_sh, states, rn = step(
+        jnp.asarray(u0), [mat2.data_manager.s0.internal], mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * abs(T1)
+    np.testing.assert_allclose(np.asarray(u_sh), T1f.x, rtol=1e-8, atol=1e-8)
+
+
+def test_general_step_two_materials():
+    """Two cell-subset qmaps (different hardening) sharded over 8 devices
+    match the host two-material solve, including each subset's plastic state."""
+    cmesh = device_mesh(8)
+    mesh = create_unit_square(5, 5, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 3 * sig0 / E
+    cells = np.arange(mesh.num_cells)
+    subsets = [cells[cells % 2 == 0], cells[cells % 2 == 1]]
+
+    def build():
+        mats, qmaps = [], []
+        for sub, hard in zip(
+            subsets,
+            (LinearHardening(sig0, 1000.0), VoceHardening(sig0, 500.0, 1e3)),
+        ):
+            m = Material(
+                vonMisesIsotropicHardening(LinearElasticIsotropic(E, nu), hard)
+            )
+            q = QuadratureMap(V, 2, m, cells=sub)
+            q.register_gradient("Strain", mandel_strain_2d())
+            mats.append(m)
+            qmaps.append(q)
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            qmaps, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return mats, qmaps, bcs, prob
+
+    mats1, qmaps1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+    u_ref = prob1.u.x
+
+    mats2, qmaps2, bcs2, prob2 = build()
+    step, _ = make_sharded_newton_step_general(
+        prob2, cmesh, n_newton=14, n_cg=300
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs),
+        [m.data_manager.s0.internal for m in mats2],
+        mask,
+        vals,
+        0.0,
+    )
+    assert float(rn) < 1e-8 * E
+    np.testing.assert_allclose(np.asarray(u_sh), u_ref, rtol=1e-6, atol=1e-10)
+    # per-subset plastic states match the host solve, trimmed to real points
+    for q1, m1, st in zip(qmaps1, mats1, states):
+        p_ref = np.asarray(m1.data_manager.s1["p"]).ravel()
+        p_sh = np.asarray(st["p"]).ravel()
+        assert p_sh.shape == p_ref.shape
+        np.testing.assert_allclose(p_sh, p_ref, rtol=1e-6, atol=1e-12)
+    assert max(np.asarray(st["p"]).max() for st in states) > 1e-4
+
+
+def test_general_step_rotated_frame():
+    """Constant material-frame rotation (the MGIS rotation path) flows
+    through the fused step and matches the host solver."""
+    cmesh = device_mesh(8)
+    mesh = create_unit_square(4, 4, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 2 * sig0 / E
+    angle = 0.3
+    c, s = np.cos(angle), np.sin(angle)
+    R = jnp.asarray([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+
+    def build():
+        m = Material(
+            vonMisesIsotropicHardening(
+                LinearElasticIsotropic(E, nu), LinearHardening(sig0, 1000.0)
+            )
+        )
+        m.rotation_matrix = R
+        q = QuadratureMap(V, 2, m)
+        q.register_gradient("Strain", mandel_strain_2d())
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    step, _ = make_sharded_newton_step_general(prob2, cmesh, n_newton=12, n_cg=200)
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs), [m2.data_manager.s0.internal], mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * E
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-6, atol=1e-10)
+
+
+def test_general_step_unstructured_mesh():
+    """The fused step runs on an UNSTRUCTURED (Delaunay, gmsh-class) mesh —
+    no stencil anywhere — and matches the host LU solve (VERDICT r2 item 2)."""
+    from scipy.spatial import Delaunay
+
+    from dolfinx_materials_tpu.fem.mesh import Mesh
+
+    cmesh = device_mesh(8)
+    rng = np.random.default_rng(0)
+    g = 7
+    xx, yy = np.meshgrid(np.arange(g + 1), np.arange(g + 1))
+    pts = np.stack([xx, yy], -1).reshape(-1, 2) / g
+    pts += np.where(
+        ((pts > 0) & (pts < 1)), rng.uniform(-0.2 / g, 0.2 / g, pts.shape), 0.0
+    )
+    mesh = reorder_mesh(Mesh(pts, Delaunay(pts).simplices.astype(np.int32), "triangle"))
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 2 * sig0 / E
+
+    def build():
+        m = Material(
+            vonMisesIsotropicHardening(
+                LinearElasticIsotropic(E, nu), VoceHardening(sig0, 500.0, 1e3)
+            )
+        )
+        q = QuadratureMap(V, 2, m)
+        q.register_gradient("Strain", mandel_strain_2d())
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    step, _ = make_sharded_newton_step_general(prob2, cmesh, n_newton=14, n_cg=300)
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs), [m2.data_manager.s0.internal], mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * E
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
+    p_sh = np.asarray(states[0]["p"]).ravel()
+    p_ref = np.asarray(m1.data_manager.s1["p"]).ravel()
+    np.testing.assert_allclose(p_sh, p_ref, rtol=1e-5, atol=1e-11)
+    assert p_ref.max() > 1e-4
