@@ -96,13 +96,14 @@ def make_j2_pallas_update(
         f_tr = q_tr - sigY0
         f_act = jnp.maximum(f_tr, 0.0)
 
-        def body(_, dp):
+        def body(_, carry):
+            dp, _ = carry
             # ONE jvp evaluates the hardening curve and its derivative in a
             # single pass (the Voce exp is computed once, not twice)
             Y, dYv = jax.jvp(yield_stress, (p + dp,), (ones,))
             r = f_act - 3.0 * mu * dp - (Y - sigY0)
             dr = -3.0 * mu - dYv
-            return jnp.maximum(dp - r / dr, 0.0)
+            return jnp.maximum(dp - r / dr, 0.0), dYv
 
         # unrolled: straight-line code schedules ~15% faster than fori_loop
         # seed denominator clamped: softening laws can drive 3*mu + Y'(p)
@@ -112,8 +113,13 @@ def make_j2_pallas_update(
             if warm_start
             else jnp.zeros_like(q_tr)
         )
+        Hp = dY0 if warm_start else jnp.zeros_like(q_tr)
         for _i in range(n_iter):
-            dp = body(_i, dp)
+            dp, Hp = body(_i, (dp, Hp))
+        # Hp REUSE (VERDICT r2 item 4b): the last body jvp evaluated Y' at
+        # dp_{n-1}; converged increments differ below dtype resolution, so it
+        # serves as Hp(dp_n) — one fewer transcendental per point (the
+        # on-device parity gate in bench.py still has to pass)
 
         iq = 1.0 / q_tr
         nbar = s_tr * iq  # (6, T)
@@ -124,7 +130,6 @@ def make_j2_pallas_update(
         pn_ref[0, :] = p + dp
 
         plastic = jnp.where(f_tr > 0.0, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
-        _, Hp = jax.jvp(yield_stress, (p + dp,), (ones,))
         beta = (3.0 * mu) * dp * iq * plastic
         gamma = (9.0 * mu * mu) * (1.0 / (3.0 * mu + Hp) - dp * iq) * plastic
 
@@ -230,11 +235,12 @@ def make_j2_pallas_factored(
         f_tr = q_tr - sigY0
         f_act = jnp.maximum(f_tr, 0.0)
 
-        def body(_, dp):
+        def body(_, carry):
+            dp, _ = carry
             Y, dYv = jax.jvp(yield_stress, (p + dp,), (ones,))
             r = f_act - 3.0 * mu * dp - (Y - sigY0)
             dr = -3.0 * mu - dYv
-            return jnp.maximum(dp - r / dr, 0.0)
+            return jnp.maximum(dp - r / dr, 0.0), dYv
 
         # unrolled: straight-line code schedules ~15% faster than fori_loop
         # seed denominator clamped: softening laws can drive 3*mu + Y'(p)
@@ -244,8 +250,10 @@ def make_j2_pallas_factored(
             if warm_start
             else jnp.zeros_like(q_tr)
         )
+        Hp = dY0 if warm_start else jnp.zeros_like(q_tr)
         for _i in range(n_iter):
-            dp = body(_i, dp)
+            dp, Hp = body(_i, (dp, Hp))
+        # Hp REUSE: see the full kernel — one fewer transcendental per point
 
         iq = 1.0 / q_tr
         nbar = s_tr * iq
@@ -254,7 +262,6 @@ def make_j2_pallas_factored(
         pn_ref[0, :] = p + dp
 
         plastic = jnp.where(f_tr > 0.0, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
-        _, Hp = jax.jvp(yield_stress, (p + dp,), (ones,))
         b2m = (6.0 * mu * mu) * dp * iq * plastic
         gamma = (9.0 * mu * mu) * (1.0 / (3.0 * mu + Hp) - dp * iq) * plastic
         fac_ref[0, :] = b2m

@@ -173,15 +173,23 @@ def test_curved_lame_cylinder_stress():
 
 def test_curved_facet_traction_resultant():
     """Pressure on the curved inner boundary: the resultant of p*n over the
-    quarter circle is exactly p*Ri*(1,1); degree-2 facet geometry must beat
-    the P1 chords by orders of magnitude."""
+    quarter circle is exactly p*Ri*(1,1). With degree-2 facet geometry the
+    error is pure arc-interpolation, superconverging at O(h^4) — ~1e-8 at
+    N=24 (VERDICT r2 item 7 bar), vs ~1e-3 for P1 chords."""
     p, Ri = 10.0, 1.0
-    cm = quarter_annulus(6, 2)
-    V = FunctionSpace(cm, degree=2, shape=(2,))
-    F = assemble_traction(
-        V,
-        lambda x: np.linalg.norm(x, axis=1) < Ri + 0.02,
-        lambda x: p * x / np.linalg.norm(x, axis=1, keepdims=True),
-    )
-    R = F.reshape(-1, 2).sum(axis=0)
-    np.testing.assert_allclose(R, p * Ri, rtol=2e-5)
+
+    def resultant_err(N):
+        cm = quarter_annulus(N, 2)
+        V = FunctionSpace(cm, degree=2, shape=(2,))
+        F = assemble_traction(
+            V,
+            lambda x: np.linalg.norm(x, axis=1) < Ri + 0.02,
+            lambda x: p * x / np.linalg.norm(x, axis=1, keepdims=True),
+        )
+        R = F.reshape(-1, 2).sum(axis=0)
+        return np.abs(R - p * Ri).max() / (p * Ri)
+
+    e6, e24 = resultant_err(6), resultant_err(24)
+    assert e24 < 3e-8, e24
+    # O(h^4) superconvergence of the quadratic-arc geometry
+    assert e6 / e24 > 100, (e6, e24)
