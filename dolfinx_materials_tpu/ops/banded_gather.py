@@ -300,26 +300,36 @@ def balance_cell_slots(cells, cell_type):
     cells = np.asarray(cells)
     ne, nv = cells.shape
     if cell_type in ("tetrahedron",):
-        # cyclic rotations of a tet permute faces but keep orientation only
-        # for even permutations; rotations by 1 are odd for 4 vertices — use
-        # the 3-cycles fixing vertex 0 plus identity (even permutations)
-        perms = [
-            (0, 1, 2, 3),
-            (0, 2, 3, 1),
-            (0, 3, 1, 2),
-            (1, 0, 3, 2),
-        ]
+        # only even permutations keep tet orientation; rotations by 1 are odd
+        # for 4 vertices — use the 3-cycles fixing vertex 0 plus one double
+        # transposition
+        perms = np.array(
+            [(0, 1, 2, 3), (0, 2, 3, 1), (0, 3, 1, 2), (1, 0, 3, 2)]
+        )
     else:
-        perms = [tuple(np.roll(np.arange(nv), -r)) for r in range(nv)]
-    slot_count = np.zeros((cells.max() + 1, nv), np.int64)
+        perms = np.array([np.roll(np.arange(nv), -r) for r in range(nv)])
+
+    # STRIDED batched greedy: process cells in S interleaved strides
+    # (cells[k::S]) so a vertex's incident cells — contiguous after the
+    # min-dof sort — land in different strides and see each other's count
+    # updates. Per stride, score each permutation by the current
+    # per-(vertex, slot) occupancy sum, pick the argmin, update counts once.
+    # Matches the sequential greedy's layer total (K=18 vs 18 on a 132k-cell
+    # Delaunay mesh) at ~65x the speed; a contiguous-batch variant degraded
+    # to K=24 because whole incidence groups shared stale counts.
+    S = 128
+    nvtx = int(cells.max()) + 1
+    slot_count = np.zeros((nvtx, nv), np.int32)
     out = np.empty_like(cells)
-    for e in range(ne):
-        best, best_cost = None, None
-        for p in perms:
-            vs = cells[e, list(p)]
-            cost = slot_count[vs, np.arange(nv)].max()
-            if best_cost is None or cost < best_cost:
-                best, best_cost = vs, cost
-        out[e] = best
-        slot_count[best, np.arange(nv)] += 1
-    return out
+    arange_nv = np.arange(nv)
+    for k in range(min(S, ne)):
+        idx = np.arange(k, ne, S)
+        cand = cells[idx][:, perms]  # (b, nperm, nv)
+        scores = slot_count[cand, arange_nv].sum(axis=2)  # (b, nperm)
+        best = np.argmin(scores, axis=1)
+        chosen = np.take_along_axis(
+            cand, best[:, None, None], axis=1
+        )[:, 0]
+        out[idx] = chosen
+        np.add.at(slot_count, (chosen, arange_nv), 1)
+    return out.astype(cells.dtype)

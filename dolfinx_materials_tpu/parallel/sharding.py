@@ -100,6 +100,7 @@ def make_sharded_newton_step(
     pc="two_level",
     pc_boxes=8,
     use_stencil=True,
+    use_banded=True,
 ):
     """Build a fully-fused, sharded Newton load step for a single-material
     mechanics problem (one registered gradient, default flux.dgrad residual).
@@ -177,6 +178,15 @@ def make_sharded_newton_step(
     # (redundant across shards but memory-speed) while the expensive
     # per-element work stays sharded. None -> general dofmap path (gmsh).
     stencil = getattr(dom, "_stencil", None) if use_stencil else None
+    # banded lane-gather engine on UNSTRUCTURED meshes (same redundant-full
+    # pattern as the stencil path: every device runs the full banded
+    # gather/assembly at memory speed, the per-element work stays sharded) —
+    # ops/banded_gather.py; dispatches to the XLA oracle off-TPU
+    banded = (
+        dom
+        if (use_banded and stencil is None and getattr(dom, "_banded", None))
+        else None
+    )
 
     # --- shard-ready (padded) tables -------------------------------------
     dNdx, ne_real = pad_to_multiple(np.asarray(dom.dNdx), ndev)
@@ -395,21 +405,51 @@ def make_sharded_newton_step(
         in_specs=(u_spec, P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   u_spec, u_spec, P()),
         out_specs=(u_spec, P(axis), P()),
+        # pallas_call (banded engine) inside shard_map cannot annotate its
+        # outputs' varying-across-mesh state; skip the check (the collectives
+        # here are explicit psums/all_gathers, validated by equivalence tests)
+        check_vma=False,
     )
     def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, cdof_l, state_l, bc_mask,
               bc_vals, dt):
         # --- dof-layout helpers ------------------------------------------
         def gather_cells(u_full):
             """Full dof vector -> this shard's (ne_l, ndof_el) element dofs:
-            shifted-slice stencil on structured grids, dofmap gather otherwise
-            (scalar gathers, ~300x off roofline — docs/perf.md)."""
+            shifted-slice stencil on structured grids, banded lane-gather on
+            unstructured meshes, dofmap gather as the last resort (scalar
+            gathers, ~300x off roofline — docs/perf.md)."""
             if stencil is not None:
                 return stencil_gather_local(u_full)
+            if banded is not None:
+                ue = banded._banded_take("cell", u_full[:ndofs]).reshape(
+                    ne_cells, ndof_el
+                )
+                if ne_pad != ne_cells:
+                    ue = jnp.concatenate(
+                        [ue, jnp.zeros((ne_pad - ne_cells, ndof_el), ue.dtype)]
+                    )
+                return jax.lax.dynamic_slice_in_dim(
+                    ue, (shard_index() * ne_local).astype(jnp.int32), ne_local
+                )
             return u_full[dofmap_l]
 
         def partial_assemble(vals_e, dtype, size):
             if stencil is not None:
                 part = stencil_scatter_partial(vals_e, dtype)
+                if size != ndofs:
+                    part = jnp.concatenate(
+                        [part, jnp.zeros(size - ndofs, dtype)]
+                    )
+                return part
+            if banded is not None:
+                all_vals = jax.lax.dynamic_update_slice(
+                    jnp.zeros((ne_pad, ndof_el), dtype),
+                    vals_e.astype(dtype),
+                    ((shard_index() * ne_local).astype(jnp.int32), jnp.int32(0)),
+                )
+                part = banded._banded_take(
+                    "asm", all_vals[:ne_cells].T.reshape(-1)
+                ).astype(dtype)
                 if size != ndofs:
                     part = jnp.concatenate(
                         [part, jnp.zeros(size - ndofs, dtype)]
