@@ -309,6 +309,54 @@ def main():
     except Exception as e:  # pragma: no cover
         extras["ogden_gp_per_s"] = f"failed: {type(e).__name__}"
 
+    try:
+        if over_budget():
+            raise TimeoutError
+        # unstructured banded-engine matvec (VERDICT r2 item 2): Delaunay tri
+        # mesh, banded lane-gather matvec vs the scalar gather-map path
+        from scipy.spatial import Delaunay as _Del
+
+        from dolfinx_materials_tpu.fem import reorder_mesh as _rm
+        from dolfinx_materials_tpu.fem.assembly import QuadratureDomain as _QD
+        from dolfinx_materials_tpu.fem.mesh import Mesh as _Mesh
+        from dolfinx_materials_tpu.fem.space import FunctionSpace as _FSb
+
+        _g = 182  # ~33k vertices -> ~66k dofs
+        _xx, _yy = np.meshgrid(np.arange(_g), np.arange(_g))
+        _rngb = np.random.default_rng(7)
+        _pts = np.stack([_xx, _yy], -1).reshape(-1, 2) / _g + _rngb.uniform(
+            -0.25 / _g, 0.25 / _g, (_g * _g, 2)
+        )
+        _bmesh = _rm(_Mesh(_pts, _Del(_pts).simplices.astype(np.int32), "triangle"))
+        _Vb = _FSb(_bmesh, 1, (2,))
+        _domb = _QD(_Vb, 2)
+        assert _domb.banded_active, "banded plans must build for this metric"
+        _Keb = jnp.asarray(
+            _rngb.random((_domb.ne, _domb.ndof_el, _domb.ndof_el)).astype(
+                np.float32
+            )
+        )
+        _Kpb = _domb.spmv_prepare(_Keb)
+        _vb = jnp.asarray(_rngb.random(_Vb.num_dofs).astype(np.float32))
+
+        @jax.jit
+        def _mv_loop(v):
+            return jax.lax.fori_loop(
+                0, 20,
+                lambda i, v: v * 0.999999 + 1e-12 * jnp.sum(_domb.spmv(_Kpb, v)),
+                v,
+            )
+
+        float(jnp.sum(_mv_loop(_vb)))
+        _bb = np.inf
+        for _ in range(3):
+            _t0 = time.perf_counter()
+            float(jnp.sum(_mv_loop(_vb)))
+            _bb = min(_bb, time.perf_counter() - _t0)
+        extras["banded_matvec_66kdof_ms"] = float(_bb / 20 * 1e3)
+    except Exception as e:  # pragma: no cover
+        extras["banded_matvec_66kdof_ms"] = f"failed: {type(e).__name__}"
+
     print(
         json.dumps(
             {

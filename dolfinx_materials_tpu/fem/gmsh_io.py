@@ -16,13 +16,37 @@ _ELEM = {2: ("triangle", 3), 3: ("quad", 4), 4: ("tetrahedron", 4), 5: ("hexahed
 _BOUNDARY = {1: ("line", 2), 2: ("triangle", 3), 3: ("quad", 4)}
 
 
-def read_msh(path, cell_type=None):
+def read_msh(path, cell_type=None, reorder=False):
     """Read a .msh file; returns (Mesh, cell_tags (ncells,), facet_groups).
 
     ``facet_groups``: dict physical_tag -> (nfacets, nfv) vertex arrays of
     lower-dimensional tagged entities (for BC selection). ``cell_type`` picks
     the volume element family when several are present.
+
+    ``reorder=True`` applies the bandwidth-reducing renumbering
+    (fem/reorder.py — enables the banded TPU fast path) and REMAPS cell_tags
+    and facet_groups consistently, so downstream tag-based selections keep
+    working on the renumbered mesh.
     """
+    mesh, cell_tags, facet_groups = _read_msh_raw(path, cell_type)
+    if reorder:
+        from .reorder import reorder_mesh
+
+        m2 = reorder_mesh(mesh)
+        if getattr(m2, "reordered", False):
+            import numpy as _np
+
+            cell_tags = _np.asarray(cell_tags)[m2.cell_order]
+            inv = m2.vertex_inverse
+            facet_groups = {
+                tag: inv[_np.asarray(fv)].astype(_np.int32)
+                for tag, fv in facet_groups.items()
+            }
+            mesh = m2
+    return mesh, cell_tags, facet_groups
+
+
+def _read_msh_raw(path, cell_type=None):
     lines = open(path).read().splitlines()
     i = 0
 

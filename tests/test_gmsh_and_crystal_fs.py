@@ -87,3 +87,28 @@ def test_finite_strain_crystal_composition():
         rtol=5e-2,
         atol=1e-9,
     )
+
+
+def test_read_msh_reorder_remaps_tags(tmp_path):
+    """read_msh(reorder=True) renumbers vertices/cells for the banded fast
+    path and remaps cell_tags + facet_groups consistently: every tagged facet
+    still addresses the same physical coordinates."""
+    path = tmp_path / "square.msh"
+    path.write_text(MSH_V2.replace("2 2 1 1 1 2 5", "2 2 7 1 1 2 5"))
+    m0, tags0, fg0 = read_msh(path)
+    m1, tags1, fg1 = read_msh(path, reorder=True)
+    assert m1.num_cells == m0.num_cells and m1.num_vertices == m0.num_vertices
+    # cell tag multiset preserved; the tag-7 cell still covers the same region
+    assert sorted(tags1.tolist()) == sorted(tags0.tolist())
+    ct0 = m0.points[m0.cells[np.asarray(tags0) == 7]].mean(axis=(0, 1))
+    ct1 = m1.points[m1.cells[np.asarray(tags1) == 7]].mean(axis=(0, 1))
+    np.testing.assert_allclose(ct1, ct0, atol=1e-14)
+    # facet groups: same physical segments (compare coordinate sets)
+    for tag in fg0:
+        c0 = np.sort(m0.points[fg0[tag]].reshape(-1, 2), axis=0)
+        c1 = np.sort(m1.points[fg1[tag]].reshape(-1, 2), axis=0)
+        np.testing.assert_allclose(c1, c0, atol=1e-14)
+    # total area preserved
+    V = FunctionSpace(m1, 1, ())
+    dom = QuadratureDomain(V, 2)
+    np.testing.assert_allclose(float(assemble_scalar(dom, 1.0)), 1.0, rtol=1e-12)
