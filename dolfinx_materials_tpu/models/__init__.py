@@ -48,7 +48,11 @@ from .conic import (  # noqa: F401
     l1_rankine_norm,
     rankine_norm,
 )
-from .conic_exact import L1RankineExact, RankineExact  # noqa: F401
+from .conic_exact import (  # noqa: F401
+    L1RankineExact,
+    PlaneStressVonMisesExact,
+    RankineExact,
+)
 from .crystal import (  # noqa: F401
     MericCailletaudCrystalPlasticity,
     cubic_elasticity_C,

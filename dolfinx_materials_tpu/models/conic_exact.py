@@ -225,3 +225,63 @@ class L1RankineExact(_ExactConicPlaneStress):
             ]
         )
         return edges, vertices
+
+
+class PlaneStressVonMisesExact(_ExactConicPlaneStress):
+    """Exact plane-stress von Mises projection (ref cvxpy_materials.py:90-95:
+    ``quad_form(sig, Q) <= sig0^2`` with the demo's Q = [[1,-1/2,0],
+    [-1/2,1,0],[0,0,1]] on the Mandel 3-vector — kept verbatim for parity).
+
+    TPU-native exact solve: host-side generalized eigendecomposition
+    Q v = mu C^{-1} v ONCE diagonalizes both the elastic metric and the yield
+    quadric, so the KKT system reduces to a scalar SECULAR equation
+    f(lam) = sum_i mu_i t_i^2 / (1 + lam mu_i)^2 - sig0^2 = 0, monotone for
+    lam >= 0 — one vmapped scalar Newton per point, machine-precision sharp,
+    with the consistent tangent via the implicit function theorem.
+    """
+
+    def __init__(self, E, nu, sig0, Q=None, tangent="consistent"):
+        # ft/fc unused; reuse the elastic setup path
+        super().__init__(E, nu, ft=sig0, fc=sig0, tangent=tangent)
+        self.sig0 = float(sig0)
+        Q = (
+            np.array([[1.0, -0.5, 0.0], [-0.5, 1.0, 0.0], [0.0, 0.0, 1.0]])
+            if Q is None
+            else np.asarray(Q, float)
+        )
+        self.Q = Q
+        import scipy.linalg as sla
+
+        A = np.linalg.inv(self.C)  # elastic metric
+        # generalized SYMMETRIC eigenproblem Q v = mu A v: scipy returns an
+        # A-orthonormal eigenbasis even for degenerate eigenvalues, so both
+        # the metric (-> identity) and the yield quadric (-> diag(mu))
+        # diagonalize simultaneously
+        mus, V = sla.eigh(Q, A)
+        self._V = jnp.asarray(V)  # sig = V @ sig_tilde
+        self._W = jnp.asarray(V.T @ A)  # sig_tilde = W @ sig
+        self._mus = jnp.asarray(mus)
+
+    def project(self, sig_trial3):
+        from ..ops.newton import scalar_newton_solve
+
+        t = self._W @ sig_trial3  # A-orthonormal coordinates
+        mus = jnp.asarray(self._mus, sig_trial3.dtype)
+
+        def yield_val(lam):
+            s = t / (1.0 + lam * mus)
+            return jnp.sum(mus * s * s) - self.sig0**2
+
+        inside = yield_val(0.0) <= 0.0
+
+        def secular(lam, t_):
+            s = t_ / (1.0 + lam * mus)
+            return jnp.sum(mus * s * s) - self.sig0**2
+
+        lam, _ = scalar_newton_solve(
+            secular, jnp.zeros((), sig_trial3.dtype), args=(t,),
+            tol=1e-12 * self.sig0**2, max_iter=60, lower=0.0,
+        )
+        lam = jnp.where(inside, 0.0, lam)
+        s = t / (1.0 + lam * mus)
+        return self._V.astype(sig_trial3.dtype) @ s

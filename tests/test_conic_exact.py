@@ -120,3 +120,68 @@ def test_stress_path_smoothed_vs_exact():
         out, state = mat.constitutive_update({"Strain": eps}, state, 0.0)
     sig = np.asarray(out["Stress"])
     np.testing.assert_allclose(sig[:2], [ft, ft], atol=1e-9)
+
+
+def test_plane_stress_von_mises_exact():
+    """Exact plane-stress von Mises projection (secular-equation solve in the
+    generalized eigenbasis) vs an inline independent SLSQP QP, plus
+    feasibility and interior identity."""
+    from scipy.optimize import minimize
+
+    from dolfinx_materials_tpu.models.conic_exact import PlaneStressVonMisesExact
+
+    sig0 = 5.0
+    mat = PlaneStressVonMisesExact(E, nu, sig0)
+    Q, C = mat.Q, mat.C
+    Cinv = np.linalg.inv(C)
+    rng = np.random.default_rng(5)
+    trials = np.concatenate(
+        [rng.normal(size=(24, 3)) * s for s in (2.0, 10.0, 50.0)]
+    )
+
+    def slsqp(t):
+        cons = [{"type": "ineq", "fun": lambda s: sig0**2 - s @ Q @ s}]
+
+        def obj(s):
+            d = s - t
+            return 0.5 * d @ Cinv @ d
+
+        best = None
+        for x0 in (np.zeros(3), t * 0.2):
+            r = minimize(obj, x0, constraints=cons, method="SLSQP",
+                         options={"maxiter": 800, "ftol": 1e-18})
+            if (t @ Q @ t <= sig0**2) or (abs(r.x @ Q @ r.x - sig0**2) < 1e-6):
+                if best is None or r.fun < best[1]:
+                    best = (r.x, r.fun)
+        return best[0]
+
+    got = np.asarray(jax.vmap(mat.project)(jnp.asarray(trials)))
+    for t, g in zip(trials, got):
+        # cross-solver agreement at SLSQP's own accuracy (~1e-6 in x)
+        ref = slsqp(t)
+        np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5 * sig0)
+        assert g @ Q @ g <= sig0**2 * (1 + 1e-9)
+        # KKT at machine precision (our solve is the sharper one): on the
+        # surface (or interior), and C^{-1}(g - t) anti-parallel to Q g
+        if t @ Q @ t > sig0**2:
+            assert abs(g @ Q @ g - sig0**2) < 1e-9 * sig0**2
+            r1 = Cinv @ (g - t)
+            r2 = Q @ g
+            cross = np.linalg.norm(
+                r1 - (r1 @ r2) / max(r2 @ r2, 1e-300) * r2
+            )
+            assert cross < 1e-9 * max(1.0, np.linalg.norm(r1))
+    # interior trials untouched
+    t_in = jnp.array([0.5, -0.3, 0.2])
+    np.testing.assert_allclose(
+        np.asarray(mat.project(t_in)), np.asarray(t_in), atol=1e-12
+    )
+    # consistent tangent == elastic C in the elastic regime
+    state = mat.init_state()
+
+    def f(e):
+        out, _ = mat.constitutive_update({"Strain": e}, state, 0.0)
+        return out["Stress"]
+
+    Ct = np.asarray(jax.jacfwd(f)(jnp.array([1e-6, 0.0, 0.0])))
+    np.testing.assert_allclose(Ct, C, rtol=1e-8)
