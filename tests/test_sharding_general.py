@@ -291,3 +291,74 @@ def test_specialized_step_banded_unstructured():
     )
     assert float(rn) < 1e-8 * E
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
+
+
+def test_general_step_transient_phase_change():
+    """TRANSIENT theta-scheme through the general fused step: the Enthalpy
+    ISV appears in the residual (field = internal state variable), the
+    previous-step enthalpy enters as an external force, and term scales are
+    traced — one time step must match the host solver."""
+    from dolfinx_materials_tpu.models import PhaseChangeHeatTransfer
+
+    cmesh = device_mesh(8)
+    beh_probe = PhaseChangeHeatTransfer(Tsmooth=5.0, dim=2)
+    Tm = beh_probe.Tm
+    L, nx = 0.1, 12
+    mesh = create_rectangle((0, 0), (L, L / nx), (nx, 1), "quad")
+    V = FunctionSpace(mesh, 1, ())
+    dtv = 2.0
+
+    def build():
+        beh = PhaseChangeHeatTransfer(Tsmooth=5.0, dim=2)
+        mat = Material(beh)
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("TemperatureGradient", scalar_gradient())
+        qmap.register_external_state_variable("Temperature", scalar_value())
+        T = Function(V)
+        T.x[:] = Tm - 50.0
+        left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0.0))
+        bcs = [DirichletBC(left, Tm + 150.0)]
+        prob = NonlinearMaterialProblem(
+            qmap,
+            T,
+            bcs=bcs,
+            residual_terms=[
+                [("Enthalpy", scalar_value()),
+                 ("HeatFlux", scalar_gradient(), lambda: -dtv)]
+            ],
+            options={"ksp_type": "lu", "atol": 1e-4, "max_it": 60},
+        )
+        qmap.update(jnp.asarray(T.x))
+        qmap.advance()
+        ext = qmap.domain.make_residual([scalar_value()])
+        f_ext = np.asarray(
+            ext(jnp.asarray(T.x), [mat.data_manager.s0["Enthalpy"]])
+        )
+        return mat, qmap, bcs, T, prob, f_ext
+
+    # host reference: one transient step
+    mat1, qmap1, bcs1, T1, prob1, f1 = build()
+    prob1.external_force = f1
+    conv, _ = prob1.solve()
+    assert conv
+
+    # fused general step, same step
+    mat2, qmap2, bcs2, T2, prob2, f2 = build()
+    step, _ = make_sharded_newton_step_general(
+        prob2, cmesh, n_newton=25, n_cg=300, atol=1e-4
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u0 = np.array(T2.x)
+    u0[mask] = vals[mask]
+    u_sh, states, rn = step(
+        jnp.asarray(u0),
+        [mat2.data_manager.s0.internal],
+        mask,
+        vals,
+        dtv,
+        f_ext=jnp.asarray(f2),
+    )
+    assert float(rn) < 2e-4
+    np.testing.assert_allclose(np.asarray(u_sh), T1.x, rtol=1e-5, atol=1e-3)
+    # the front actually moved (some nodes melted)
+    assert (np.asarray(u_sh) > Tm).sum() >= 1
