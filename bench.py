@@ -161,66 +161,10 @@ def main():
 
     def over_budget():
         # leave headroom for the driver's own timeout: skip remaining extras
-        # once the run has consumed 8 minutes (headline already measured)
-        return time.perf_counter() - t_bench_start > 480.0
-
-    try:
-        if over_budget():
-            raise TimeoutError
-        from dolfinx_materials_tpu.models import FeFpJ2Plasticity
-        from dolfinx_materials_tpu.ops import tensors as _tn
-
-        fefp = FeFpJ2Plasticity(el, hard)
-        nf = 1 << 17
-        rng2 = np.random.default_rng(1)
-        F0 = np.tile(np.eye(3), (nf, 1, 1)) + 2e-2 * rng2.standard_normal((nf, 3, 3))
-        Fv0 = jnp.asarray(
-            np.asarray(_tn.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
-        )
-        st0 = {
-            "be": jnp.tile(jnp.asarray(_tn.I2, jnp.float32), (nf, 1)),
-            "p": jnp.zeros(nf, jnp.float32),
-            "F_prev": jnp.tile(jnp.asarray(_tn.I9, jnp.float32), (nf, 1)),
-        }
-        extras["fefp_gp_per_s"] = float(
-            chained_gp(
-                fefp.batched_update, Fv0, st0,
-                # Ct must feed the carry or XLA dead-code-eliminates the
-                # 9-seed tangent pass (same trick as the J2 loop's X term)
-                lambda x0, out: x0 + 1e-6 * out[0] + 1e-9 * out[1][:, :9], nf,
-            )
-        )
-    except Exception as e:  # pragma: no cover - diagnostics only
-        extras["fefp_gp_per_s"] = f"failed: {type(e).__name__}"
-
-    try:
-        if over_budget():
-            raise TimeoutError
-        from dolfinx_materials_tpu.models import MericCailletaudCrystalPlasticity
-        from dolfinx_materials_tpu.material import Material as _Mat
-
-        beh_c = MericCailletaudCrystalPlasticity()
-        mat_c = _Mat(beh_c)
-        nc = 1 << 14
-        mat_c.set_data_manager(nc)
-        eps0 = jnp.asarray(
-            (2e-3 * np.random.default_rng(2).standard_normal((nc, 6))).astype(
-                np.float32
-            )
-        )
-        stc = mat_c.data_manager.s0.internal
-        extras["crystal_gp_per_s"] = float(
-            chained_gp(
-                beh_c.batched_update, eps0, stc,
-                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :6],
-                # K2=8 (was 4): the early-exiting crystal Newton made
-                # per-step time ~8x smaller, so the differential needs more
-                # chained steps to stay above tunnel noise
-                nc, K1=1, K2=8,
-            )
-        )
-    except Exception as e:  # pragma: no cover
-        extras["crystal_gp_per_s"] = f"failed: {type(e).__name__}"
+        # once the run has consumed 9 minutes (headline already measured).
+        # Extras are ordered by importance: fused step (the global-solve
+        # datapoint) first, then crystal/fefp, then banded/ogden.
+        return time.perf_counter() - t_bench_start > 540.0
 
     try:
         if over_budget():
@@ -287,27 +231,60 @@ def main():
     try:
         if over_budget():
             raise TimeoutError
-        from dolfinx_materials_tpu.models import Ogden
+        from dolfinx_materials_tpu.models import MericCailletaudCrystalPlasticity
+        from dolfinx_materials_tpu.material import Material as _Mat
 
-        og = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
-        no = 1 << 16
-        F0 = np.tile(np.eye(3), (no, 1, 1)) + 0.1 * np.random.default_rng(
-            3
-        ).standard_normal((no, 3, 3))
-        from dolfinx_materials_tpu.ops import tensors as _tn2
-
-        Fvo = jnp.asarray(
-            np.asarray(_tn2.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        beh_c = MericCailletaudCrystalPlasticity()
+        mat_c = _Mat(beh_c)
+        nc = 1 << 14
+        mat_c.set_data_manager(nc)
+        eps0 = jnp.asarray(
+            (2e-3 * np.random.default_rng(2).standard_normal((nc, 6))).astype(
+                np.float32
+            )
         )
-        extras["ogden_gp_per_s"] = float(
+        stc = mat_c.data_manager.s0.internal
+        extras["crystal_gp_per_s"] = float(
             chained_gp(
-                og.batched_update, Fvo, {},
-                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :9],
-                no, K1=1, K2=4,
+                beh_c.batched_update, eps0, stc,
+                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :6],
+                # K2=8 (was 4): the early-exiting crystal Newton made
+                # per-step time ~8x smaller, so the differential needs more
+                # chained steps to stay above tunnel noise
+                nc, K1=1, K2=8,
             )
         )
     except Exception as e:  # pragma: no cover
-        extras["ogden_gp_per_s"] = f"failed: {type(e).__name__}"
+        extras["crystal_gp_per_s"] = f"failed: {type(e).__name__}"
+
+    try:
+        if over_budget():
+            raise TimeoutError
+        from dolfinx_materials_tpu.models import FeFpJ2Plasticity
+        from dolfinx_materials_tpu.ops import tensors as _tn
+
+        fefp = FeFpJ2Plasticity(el, hard)
+        nf = 1 << 17
+        rng2 = np.random.default_rng(1)
+        F0 = np.tile(np.eye(3), (nf, 1, 1)) + 2e-2 * rng2.standard_normal((nf, 3, 3))
+        Fv0 = jnp.asarray(
+            np.asarray(_tn.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        )
+        st0 = {
+            "be": jnp.tile(jnp.asarray(_tn.I2, jnp.float32), (nf, 1)),
+            "p": jnp.zeros(nf, jnp.float32),
+            "F_prev": jnp.tile(jnp.asarray(_tn.I9, jnp.float32), (nf, 1)),
+        }
+        extras["fefp_gp_per_s"] = float(
+            chained_gp(
+                fefp.batched_update, Fv0, st0,
+                # Ct must feed the carry or XLA dead-code-eliminates the
+                # 9-seed tangent pass (same trick as the J2 loop's X term)
+                lambda x0, out: x0 + 1e-6 * out[0] + 1e-9 * out[1][:, :9], nf,
+            )
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        extras["fefp_gp_per_s"] = f"failed: {type(e).__name__}"
 
     try:
         if over_budget():
@@ -356,6 +333,31 @@ def main():
         extras["banded_matvec_66kdof_ms"] = float(_bb / 20 * 1e3)
     except Exception as e:  # pragma: no cover
         extras["banded_matvec_66kdof_ms"] = f"failed: {type(e).__name__}"
+
+    try:
+        if over_budget():
+            raise TimeoutError
+        from dolfinx_materials_tpu.models import Ogden
+
+        og = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
+        no = 1 << 16
+        F0 = np.tile(np.eye(3), (no, 1, 1)) + 0.1 * np.random.default_rng(
+            3
+        ).standard_normal((no, 3, 3))
+        from dolfinx_materials_tpu.ops import tensors as _tn2
+
+        Fvo = jnp.asarray(
+            np.asarray(_tn2.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        )
+        extras["ogden_gp_per_s"] = float(
+            chained_gp(
+                og.batched_update, Fvo, {},
+                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :9],
+                no, K1=1, K2=4,
+            )
+        )
+    except Exception as e:  # pragma: no cover
+        extras["ogden_gp_per_s"] = f"failed: {type(e).__name__}"
 
     print(
         json.dumps(
