@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 LANE = 128
-SUB = 8  # window rows streamed per grid step
+SUB = 8  # default window rows streamed per grid step
 
 
 @dataclass
@@ -52,8 +52,9 @@ class BandedTakePlan:
     C: int
     S: int
     ns: int
-    R: int  # window rows per (chunk, layer), multiple of SUB
+    R: int  # window rows per (chunk, layer), multiple of sub
     nrows: int  # padded table rows
+    sub: int  # window rows streamed per kernel grid step
     base8: jnp.ndarray  # (ns, K) int32 window base in SUB-row units
     rloc: jnp.ndarray  # (ns, K, S, LANE) int32 window row, -1 = masked
     cloc: jnp.ndarray  # (ns, K, S, LANE) int32 lane column in [0, LANE)
@@ -63,7 +64,8 @@ class BandedTakePlan:
 
 
 def plan_banded_take(
-    idx, n_src, chunk=1024, max_R=64, max_patch_frac=0.20, row_quantile=0.99
+    idx, n_src, chunk=1024, max_R=64, max_patch_frac=0.20, row_quantile=0.99,
+    sub=SUB,
 ) -> BandedTakePlan | None:
     """Plan a banded take. ``idx``: (N,) or (N, K) int array, entries in
     [0, n_src) or -1 (skip). Each layer k gets its own per-chunk window.
@@ -96,15 +98,15 @@ def plan_banded_take(
     lo_i = max(0, int(round((1.0 - row_quantile) * C)))
     cmin = srt[:, :, lo_i]
     cmin = np.where(cmin == (1 << 60), 0, cmin)
-    base8 = (cmin // LANE) // SUB
+    base8 = (cmin // LANE) // sub
 
-    rel_row = chunks // LANE - (base8 * SUB)[:, :, None]
+    rel_row = chunks // LANE - (base8 * sub)[:, :, None]
     inside = valid & (rel_row >= 0)
     if inside.any():
         R_q = int(np.quantile(rel_row[inside], row_quantile)) + 1
     else:
         R_q = 1
-    R = min(int(max_R), -(-R_q // SUB) * SUB)
+    R = min(int(max_R), -(-R_q // sub) * sub)
     out_of_window = valid & ((rel_row < 0) | (rel_row >= R))
 
     keep = valid & ~out_of_window
@@ -120,8 +122,8 @@ def plan_banded_take(
     if frac > max_patch_frac:
         return None
 
-    nrows = -(-n_src // LANE) + R + SUB
-    nrows = -(-nrows // SUB) * SUB
+    nrows = -(-n_src // LANE) + R + sub
+    nrows = -(-nrows // sub) * sub
     return BandedTakePlan(
         n_out=N,
         n_src=n_src,
@@ -137,6 +139,7 @@ def plan_banded_take(
         patch_pos=jnp.asarray(patch_pos),
         patch_idx=jnp.asarray(patch_idx),
         frac_patched=frac,
+        sub=int(sub),
     )
 
 
@@ -152,7 +155,7 @@ def banded_take_xla(table, plan: BandedTakePlan):
     table = jnp.asarray(table)
     rl = plan.rloc.reshape(plan.ns, plan.K, -1)
     cl = plan.cloc.reshape(plan.ns, plan.K, -1)
-    gidx = (plan.base8[:, :, None] * SUB + rl) * LANE + cl
+    gidx = (plan.base8[:, :, None] * plan.sub + rl) * LANE + cl
     vals = jnp.where(
         rl >= 0,
         jnp.take(table, jnp.clip(gidx, 0, plan.n_src - 1), mode="clip"),
@@ -176,7 +179,8 @@ def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
 
     K, S, R = plan.K, plan.S, plan.R
     ns = plan.ns
-    QSTEPS = R // SUB
+    SUBp = plan.sub
+    QSTEPS = R // SUBp
 
     def kernel(base_ref, win_ref, r_ref, c_ref, o_ref):
         k = pl.program_id(1)
@@ -186,21 +190,21 @@ def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
         def _init():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        win = win_ref[...]  # (SUB, LANE)
+        win = win_ref[...]  # (SUBp, LANE)
         r = r_ref[0, 0]  # (S, LANE)
         c = c_ref[0, 0]
         acc = o_ref[0]
-        for a in range(SUB):
+        for a in range(SUBp):
             x = jnp.broadcast_to(win[a][None, :], (S, LANE))
             cand = jnp.take_along_axis(x, c, axis=1)
-            acc = acc + jnp.where(r == q * SUB + a, cand, 0.0)
+            acc = acc + jnp.where(r == q * SUBp + a, cand, 0.0)
         o_ref[0] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ns, K, QSTEPS),
         in_specs=[
-            pl.BlockSpec((SUB, LANE), lambda s, k, q, base: (base[s, k] + q, 0)),
+            pl.BlockSpec((SUBp, LANE), lambda s, k, q, base: (base[s, k] + q, 0)),
             pl.BlockSpec((1, 1, S, LANE), lambda s, k, q, base: (s, k, 0, 0)),
             pl.BlockSpec((1, 1, S, LANE), lambda s, k, q, base: (s, k, 0, 0)),
         ],
@@ -239,7 +243,7 @@ def banded_take(table, plan: BandedTakePlan, interpret=False):
 # --------------------------------------------------------------------------
 
 def plan_slotwise_assembly(
-    dofmap, ndofs, chunk=1024, max_R=64, k_quantile=0.99
+    dofmap, ndofs, chunk=1024, max_R=64, k_quantile=0.99, sub=SUB
 ):
     """Plan scatter-add assembly y[dm[e, i]] += vals[i, e] as ONE banded take.
 
@@ -278,7 +282,7 @@ def plan_slotwise_assembly(
             gm = gm[:, :k_i]
         layers.append(gm)
     idx = np.concatenate(layers, axis=1)  # (ndofs, sum_i k_i)
-    plan = plan_banded_take(idx, nd * ne, chunk=chunk, max_R=max_R)
+    plan = plan_banded_take(idx, nd * ne, chunk=chunk, max_R=max_R, sub=sub)
     if plan is not None and extra_pos:
         plan.patch_pos = jnp.concatenate(
             [plan.patch_pos] + [jnp.asarray(p) for p in extra_pos]
