@@ -12,6 +12,7 @@ from .sharding import (  # noqa: F401
     device_mesh,
     make_sharded_constitutive_update,
     make_sharded_newton_step,
+    make_sharded_blocked_step,
     make_sharded_newton_step_general,
     pad_to_multiple,
 )

@@ -611,6 +611,9 @@ class BlockedNonlinearProblem:
                     eval_x=col_dom.make_eval(x_expr),
                     B_x=col_dom.make_B(x_expr),
                     col_dom=col_dom,
+                    # raw expression kept for the fused sharded blocked step
+                    # (parallel/sharding.py: make_sharded_blocked_step)
+                    x_expr_fn=x_expr,
                 )
             )
 

@@ -362,3 +362,121 @@ def test_general_step_transient_phase_change():
     np.testing.assert_allclose(np.asarray(u_sh), T1.x, rtol=1e-5, atol=1e-3)
     # the front actually moved (some nodes melted)
     assert (np.asarray(u_sh) > Tm).sum() >= 1
+
+
+def test_blocked_step_thermomechanical():
+    """The fused BLOCKED step: stiffly two-way-coupled thermo-mechanics
+    (cross-field tangent blocks both ways) matches the host
+    BlockedNonlinearProblem LU solve on the 8-device mesh."""
+    import sys as _sys
+    import pathlib as _pl
+
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_blocked import build, couplings
+
+    from dolfinx_materials_tpu.solvers import BlockedNonlinearProblem
+    from dolfinx_materials_tpu.parallel import make_sharded_blocked_step
+
+    cmesh = device_mesh(8)
+
+    # host reference
+    heat1, mech1, qT1, qu1, T1, u1, mat_u1, mat_T1 = build()
+    blocked1 = BlockedNonlinearProblem(
+        [heat1, mech1], couplings(heat1, mech1, qT1, qu1),
+        options={"ksp_type": "lu"},
+    )
+    conv, _ = blocked1.solve()
+    assert conv
+    z_ref = np.concatenate([T1.x, u1.x])
+
+    # fused sharded blocked step
+    heat2, mech2, qT2, qu2, T2, u2, mat_u2, mat_T2 = build()
+    blocked2 = BlockedNonlinearProblem(
+        [heat2, mech2], couplings(heat2, mech2, qT2, qu2)
+    )
+    step, _ = make_sharded_blocked_step(
+        blocked2, cmesh, n_newton=16, n_cg=400
+    )
+    mask, vals = blocked2._masks()
+    z0 = np.concatenate([T2.x, u2.x])
+    z0[np.asarray(mask)] = np.asarray(vals)[np.asarray(mask)]
+    states0 = [
+        qi.material.data_manager.s0.internal for qi in (qT2, qu2)
+    ]
+    z_sh, states, rn = step(jnp.asarray(z0), states0, mask, vals, 0.0)
+    scale = float(np.abs(z_ref).max())
+    assert float(rn) < 1e-7 * 70e3
+    np.testing.assert_allclose(
+        np.asarray(z_sh), z_ref, rtol=1e-6, atol=1e-8 * max(1.0, scale)
+    )
+
+
+def test_blocked_step_interface():
+    """The fused BLOCKED step with an INTERFACE law: the two-submesh sandwich
+    (duplicated interface dofs joined by an elastic traction law) matches the
+    host blocked solver."""
+    from dolfinx_materials_tpu.fem.submesh import (
+        InterfaceDomain,
+        InterfaceTerm,
+        elastic_interface,
+        extract_submesh,
+        interface_facets,
+    )
+    from dolfinx_materials_tpu.parallel import make_sharded_blocked_step
+    from dolfinx_materials_tpu.solvers import BlockedNonlinearProblem
+
+    cmesh = device_mesh(8)
+    parent = create_rectangle((0, 0), (1.0, 0.5), (8, 4), "quad")
+    centers = parent.cell_centers()
+    cells_a = np.nonzero(centers[:, 0] < 0.5)[0].astype(np.int32)
+    cells_b = np.nonzero(centers[:, 0] > 0.5)[0].astype(np.int32)
+    mesh_a, vmap_a = extract_submesh(parent, cells_a)
+    mesh_b, vmap_b = extract_submesh(parent, cells_b)
+    Va = FunctionSpace(mesh_a, 1, (2,))
+    Vb = FunctionSpace(mesh_b, 1, (2,))
+    fverts = interface_facets(parent, cells_a, cells_b)
+    idom = InterfaceDomain(Va, Vb, fverts, vmap_a, vmap_b)
+    law = elastic_interface(5e4)
+
+    def build_pair():
+        probs, mats = [], []
+        for V in (Va, Vb):
+            m = Material(
+                vonMisesIsotropicHardening(
+                    LinearElasticIsotropic(E, nu), LinearHardening(sig0, 1e3)
+                )
+            )
+            q = QuadratureMap(V, 2, m)
+            q.register_gradient("Strain", mandel_strain_2d())
+            if V is Va:
+                left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0))
+                bcs = [DirichletBC(left, 0.0)]
+            else:
+                rx = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1.0), 0)
+                ry = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1.0), 1)
+                bcs = [DirichletBC(rx, 2e-3), DirichletBC(ry, 0.0)]
+            probs.append(
+                NonlinearMaterialProblem(q, Function(V), bcs=bcs)
+            )
+            mats.append(m)
+        itf = InterfaceTerm(0, 1, idom, law)
+        return probs, mats, itf
+
+    probs1, mats1, itf1 = build_pair()
+    blocked1 = BlockedNonlinearProblem(
+        probs1, interfaces=[itf1], options={"ksp_type": "lu"}
+    )
+    conv, _ = blocked1.solve()
+    assert conv
+    z_ref = np.concatenate([p.u.x for p in probs1])
+
+    probs2, mats2, itf2 = build_pair()
+    blocked2 = BlockedNonlinearProblem(probs2, interfaces=[itf2])
+    step, _ = make_sharded_blocked_step(blocked2, cmesh, n_newton=16, n_cg=500)
+    mask, vals = blocked2._masks()
+    z0 = np.zeros(blocked2.ndofs)
+    z0[np.asarray(mask)] = np.asarray(vals)[np.asarray(mask)]
+    states0 = [p._terms[0]["qmap"].material.data_manager.s0.internal for p in probs2]
+    z_sh, states, rn = step(jnp.asarray(z0), states0, mask, vals, 0.0)
+    assert float(rn) < 1e-7 * E
+    np.testing.assert_allclose(np.asarray(z_sh), z_ref, rtol=1e-5, atol=1e-9)
