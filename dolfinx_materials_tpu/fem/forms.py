@@ -42,6 +42,20 @@ def mandel_strain_2d(plane="strain"):
     return expr
 
 
+def plane_stress_strain_3():
+    """2D displacement -> plane-stress Mandel 3-vector [exx, eyy, s2 exy] —
+    the kinematics of the reference's cvxpy materials (gradient Strain (3,),
+    cvxpy_materials.py:22-27), work-conjugate to their 3-vector Stress."""
+
+    def expr(ctx):
+        g = ctx.grad
+        return jnp.stack(
+            [g[0, 0], g[1, 1], SQ2 * 0.5 * (g[0, 1] + g[1, 0])]
+        )
+
+    return expr
+
+
 def mandel_strain_3d():
     """3D displacement -> Mandel strain 6-vector (utils.py:246-248 semantics)."""
 

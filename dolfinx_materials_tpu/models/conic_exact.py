@@ -43,15 +43,23 @@ _BIG = 1e30
 
 
 def _principal_2x2(sig3):
-    """Mandel (s0, s1, sqrt2*s01) -> (lam1 >= lam2, cos2t, sin2t)."""
+    """Mandel (s0, s1, sqrt2*s01) -> (lam1 >= lam2, cos2t, sin2t).
+
+    AD guard: at coincident principal stresses (R = 0 — e.g. the zero state
+    of the first Newton iteration) the eigen-decomposition is not
+    differentiable; the radius is floored at a scale-relative tiny so
+    forward-mode tangents stay finite (the direction is irrelevant there,
+    and the feasible-trial short-circuit in ``project`` bypasses the
+    decomposition for elastic points anyway)."""
     T = sig3[0] + sig3[1]
     dx = 0.5 * (sig3[0] - sig3[1])
     dy = sig3[2] / jnp.sqrt(2.0)
-    R = jnp.sqrt(dx * dx + dy * dy)
+    scale = jnp.abs(T) + jnp.abs(dx) + jnp.abs(dy)
+    tiny = 1e-12 * scale + 1e-290
+    R = jnp.sqrt(dx * dx + dy * dy + tiny * tiny)
     lam1 = 0.5 * T + R
     lam2 = 0.5 * T - R
-    Rs = jnp.maximum(R, 1e-30)
-    return lam1, lam2, dx / Rs, dy / Rs
+    return lam1, lam2, dx / R, dy / R
 
 
 def _recompose_2x2(lam1, lam2, c2t, s2t):
@@ -153,7 +161,15 @@ class _ExactConicPlaneStress(Behavior):
         # regions; keep the larger first so axes stay consistent
         p1 = jnp.maximum(p[0], p[1])
         p2 = jnp.minimum(p[0], p[1])
-        return _recompose_2x2(p1, p2, c2t, s2t)
+        projected = _recompose_2x2(p1, p2, c2t, s2t)
+        # elastic short-circuit: a feasible trial is returned VERBATIM —
+        # value identical, and the (possibly eigen-degenerate) decomposition
+        # drops out of the AD graph, keeping the consistent tangent exactly
+        # elastic inside the surface
+        G = jnp.asarray(edges[:, :2], sig_trial3.dtype)
+        b = jnp.asarray(edges[:, 2], sig_trial3.dtype)
+        feasible = jnp.all(G @ t <= b)
+        return jnp.where(feasible, sig_trial3, projected)
 
     def constitutive_update(self, inputs, state, dt):
         eps = inputs["Strain"]

@@ -185,3 +185,44 @@ def test_plane_stress_von_mises_exact():
 
     Ct = np.asarray(jax.jacfwd(f)(jnp.array([1e-6, 0.0, 0.0])))
     np.testing.assert_allclose(Ct, C, rtol=1e-8)
+
+
+def test_exact_conic_in_fem_solve():
+    """The exact conic behaviors drive a full 2D plane-stress FEM solve
+    (gradient Strain (3,) via plane_stress_strain_3) — uniaxial tension of a
+    Rankine material caps the stress at ft."""
+    from dolfinx_materials_tpu import Material, NonlinearMaterialProblem, QuadratureMap
+    from dolfinx_materials_tpu.fem import (
+        DirichletBC,
+        Function,
+        FunctionSpace,
+        create_unit_square,
+        locate_dofs_geometrical,
+    )
+    from dolfinx_materials_tpu.fem.forms import plane_stress_strain_3
+    from dolfinx_materials_tpu.models import RankineExact
+
+    mat = Material(RankineExact(E, nu, ft, fc))
+    mesh = create_unit_square(4, 4, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    qmap = QuadratureMap(V, 2, mat)
+    qmap.register_gradient("Strain", plane_stress_strain_3())
+    left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+    pull = DirichletBC(right, 0.0)
+    prob = NonlinearMaterialProblem(
+        qmap,
+        Function(V),
+        bcs=[DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), pull],
+        options={"ksp_type": "lu"},
+    )
+    # drive past yield in steps (incremental state: Strain/Stress committed)
+    for exx in np.linspace(0.0, 4 * ft / E, 5)[1:]:
+        pull.set(exx)
+        conv, _ = prob.solve()
+        assert conv
+    sig = np.asarray(mat.data_manager.s0["Stress"])
+    # every Gauss point capped at the tensile strength, none above
+    assert sig[:, 0].max() <= ft * (1 + 1e-8)
+    np.testing.assert_allclose(sig[:, 0], ft, rtol=1e-6)

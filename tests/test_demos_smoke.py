@@ -33,6 +33,7 @@ def test_demo_imports(path):
 
 # demo stem -> (entry attr, kwargs for a small-size run)
 EXEC_MATRIX = {
+    "conic_return_mapping": ("main", {"n_dirs": 6}),
     "curved_cylinder": ("main", {"N": 3}),
     "finite_strain_elastoplasticity": ("main", {"N": 2}),
     "hyperelasticity": ("main", {"N": 2}),
