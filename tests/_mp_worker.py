@@ -1,16 +1,21 @@
 """Worker for tests/test_multiprocess.py: one controller of an N-process job.
 
-Solves the sharp-Voce J2 plate with the fused dof-sharded Newton step over the
-GLOBAL (num_processes x devices_per_process) mesh and writes the gathered
-``u`` / plastic state to ``outfile`` (process 0 only). Run standalone with
-num_processes=1 for the single-process reference.
+Default mode: solves the sharp-Voce J2 plate with the fused dof-sharded
+Newton step over the GLOBAL (num_processes x devices_per_process) mesh and
+writes the gathered ``u`` / plastic state to ``outfile`` (process 0 only).
+``--blocked``: instead runs the fused BLOCKED multi-field step (stiff
+thermo-mechanical coupling) — the newest fused machinery under a real
+multi-controller job. Run with num_processes=1 for the single-process
+reference.
 
-Usage: python _mp_worker.py OUTFILE LOCAL_DEVICES process_id num_processes coordinator
+Usage: python _mp_worker.py OUTFILE LOCAL_DEVICES [--blocked] pid nproc coordinator
 """
 
 import sys
 
-outfile, local_devices, pid, nproc, coord = sys.argv[1:6]
+args = [a for a in sys.argv[1:] if a != "--blocked"]
+BLOCKED = "--blocked" in sys.argv
+outfile, local_devices, pid, nproc, coord = args[:5]
 pid, nproc, local_devices = int(pid), int(nproc), int(local_devices)
 
 import os
@@ -65,7 +70,7 @@ bcs = [DirichletBC(left, 0.0), DirichletBC(bottom, 0.0), DirichletBC(right, exx)
 prob = NonlinearMaterialProblem(qmap, Function(V), bcs=bcs)
 
 results = {}
-for shard_dofs in (False, True):
+for shard_dofs in (() if BLOCKED else (False, True)):
     step, _ = make_sharded_newton_step(
         qmap,
         prob,
@@ -84,6 +89,36 @@ for shard_dofs in (False, True):
     results[f"p_{tag}"] = np.asarray(mp.allgather(st["p"]))[: qmap.num_points]
     results[f"res_{tag}"] = np.asarray(mp.allgather(rn)).reshape(-1)[:1]
     print(f"[{pid}] {tag}: |R| = {float(results[f'res_{tag}'][0]):.3e}", flush=True)
+
+if BLOCKED:
+    # fused BLOCKED multi-field step (thermo-mechanical coupling) under the
+    # same global mesh — parity with single-process asserted by the test
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_blocked import build, couplings
+
+    from dolfinx_materials_tpu.parallel import make_sharded_blocked_step
+    from dolfinx_materials_tpu.solvers import BlockedNonlinearProblem
+
+    heat, mech, qT, qu, Tf, uf, mat_u, mat_T = build()
+    blocked = BlockedNonlinearProblem(
+        [heat, mech], couplings(heat, mech, qT, qu)
+    )
+    bstep, _ = make_sharded_blocked_step(
+        blocked, cmesh, axis=("dcn", "ici"), n_newton=16, n_cg=400
+    )
+    bmask, bvals = blocked._masks()
+    z0 = np.concatenate([Tf.x, uf.x])
+    z0[np.asarray(bmask)] = np.asarray(bvals)[np.asarray(bmask)]
+    z_sh, bstates, brn = bstep(
+        jnp.asarray(z0),
+        [qT.material.data_manager.s0.internal,
+         qu.material.data_manager.s0.internal],
+        bmask, bvals, 0.0,
+    )
+    results["z_blocked"] = np.asarray(mp.allgather(z_sh))[: blocked.ndofs]
+    results["res_blocked"] = np.asarray(mp.allgather(brn)).reshape(-1)[:1]
+    print(f"[{pid}] blocked: |R| = {float(results['res_blocked'][0]):.3e}",
+          flush=True)
 
 if pid == 0:
     np.savez(outfile, **results)

@@ -72,3 +72,21 @@ def test_multiprocess_solution_is_physical(results):
     assert float(r["res_sharded"][0]) < 1e-8 * 70e3
     assert r["p_sharded"].max() > 1e-4
     assert np.isfinite(r["u_sharded"]).all()
+
+
+def test_multiprocess_blocked_step(tmp_path):
+    """The fused BLOCKED multi-field step (cross-field coupling blocks) also
+    agrees bit-for-bit between 1-process and 2-process runs."""
+    outs = {}
+    for nproc, per in ((1, 8), (2, 4)):
+        f = str(tmp_path / f"blk{nproc}.npz")
+        mp.launch(
+            [sys.executable, WORKER, f, str(per), "--blocked"],
+            nproc,
+            cwd=REPO,
+            timeout=600,
+        )
+        outs[nproc] = dict(np.load(f))
+    assert np.array_equal(outs[1]["z_blocked"], outs[2]["z_blocked"])
+    assert np.array_equal(outs[1]["res_blocked"], outs[2]["res_blocked"])
+    assert float(outs[2]["res_blocked"][0]) < 1e-7 * 70e3
