@@ -1302,6 +1302,18 @@ def make_sharded_blocked_step(
             qmap = t["qmap"]
             dom = qmap.domain
             material = qmap.material
+            if getattr(material.behavior, "material_properties", {}):
+                raise NotImplementedError(
+                    "make_sharded_blocked_step: spatially-varying material "
+                    "properties are not wired here yet — use the host "
+                    "BlockedNonlinearProblem (or the general step for "
+                    "single-field problems)"
+                )
+            if material.rotation_matrix is not None:
+                raise NotImplementedError(
+                    "make_sharded_blocked_step: material-frame rotations are "
+                    "not wired here yet — use the host BlockedNonlinearProblem"
+                )
             dNdx, ne_real = pad_to_multiple(_np.asarray(dom.dNdx), ndev)
             wdetJ, _ = pad_to_multiple(_np.asarray(dom.wdetJ), ndev)
             x_q, _ = pad_to_multiple(_np.asarray(dom.x_q), ndev)
