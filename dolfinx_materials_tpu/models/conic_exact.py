@@ -294,9 +294,13 @@ class PlaneStressVonMisesExact(_ExactConicPlaneStress):
             s = t_ / (1.0 + lam * mus)
             return jnp.sum(mus * s * s) - self.sig0**2
 
+        # dtype-aware tolerance: 1e-12*sig0^2 is below f32 resolution and
+        # would force all 60 iterations on TPU
+        eps_d = float(jnp.finfo(sig_trial3.dtype).eps)
+        tol = max(1e-12, 10.0 * eps_d) * self.sig0**2
         lam, _ = scalar_newton_solve(
             secular, jnp.zeros((), sig_trial3.dtype), args=(t,),
-            tol=1e-12 * self.sig0**2, max_iter=60, lower=0.0,
+            tol=tol, max_iter=60, lower=0.0,
         )
         lam = jnp.where(inside, 0.0, lam)
         s = t / (1.0 + lam * mus)
