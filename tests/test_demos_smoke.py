@@ -39,6 +39,7 @@ EXEC_MATRIX = {
     "hyperelasticity": ("main", {"N": 2}),
     "multimaterial_interface": ("main", {}),
     "nn_surrogate": ("main", {"steps": 300}),
+    "ogden_block_tpu": ("main", {"N": 3, "n_newton": 8, "n_cg": 40}),
     "plane_elastoplasticity": ("main", {"N": 6}),
     "thermomechanics": ("main", {"N": 6}),
     "sharded_scaling": ("run", {"n_devices": 2, "N": 8}),

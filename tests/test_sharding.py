@@ -313,3 +313,51 @@ def test_sharded_newton_step_fefp_finite_strain():
     p_ref = np.asarray(mat1.data_manager.s0["p"]).ravel()
     np.testing.assert_allclose(p_sh, p_ref, rtol=1e-5, atol=1e-10)
     assert p_ref.max() > 1e-4
+
+
+def test_sharded_newton_step_ogden_3d_hex():
+    """The fused step drives the 3D OGDEN hyperelastic block (hexahedra,
+    deformation-gradient kinematics, K/mu = 2500 near-incompressibility) and
+    matches the host LU solver — the single-load-step core of the reference's
+    own headline benchmark (reference demos/mfront/hyperelasticity +
+    timing_results.csv; see demos/ogden_block_tpu.py for the full 10-step
+    timing protocol on real hardware)."""
+    from dolfinx_materials_tpu.fem import create_unit_cube
+    from dolfinx_materials_tpu.fem.forms import deformation_gradient_3d
+    from dolfinx_materials_tpu.models import Ogden
+
+    N = 4
+
+    def build():
+        mat = Material(Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9))
+        mesh = create_unit_cube(N, N, N, "hexahedron")
+        V = FunctionSpace(mesh, degree=1, shape=(3,))
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("F", deformation_gradient_3d())
+        bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 0.0))
+        top_z = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 1.0), 2)
+        return mat, qmap, V, [DirichletBC(bottom, 0.0), DirichletBC(top_z, -0.05)]
+
+    mat1, qmap1, V, bcs = build()
+    u1 = Function(V)
+    prob1 = NonlinearMaterialProblem(qmap1, u1, bcs=bcs, options={"ksp_type": "lu"})
+    converged, _ = prob1.solve()
+    assert converged
+
+    mat2, qmap2, V2, bcs2 = build()
+    prob2 = NonlinearMaterialProblem(qmap2, Function(V2), bcs=bcs2)
+    step, pad_state = make_sharded_newton_step(
+        qmap2, prob2, device_mesh(8), n_newton=20, n_cg=300
+    )
+    mask, vals = combine_bcs(bcs2, V2.num_dofs)
+    u_sh, _, res_norm = step(
+        jnp.zeros(V2.num_dofs),
+        pad_state(mat2.data_manager.s0.internal),
+        mask,
+        vals,
+        0.0,
+    )
+    assert np.isfinite(float(res_norm))
+    scale = float(np.abs(u1.x).max())
+    np.testing.assert_allclose(np.asarray(u_sh) / scale, u1.x / scale,
+                               rtol=0, atol=1e-9)
