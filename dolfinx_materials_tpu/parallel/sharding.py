@@ -710,6 +710,7 @@ def make_sharded_newton_step_general(
     n_backtracks=10,
     rtol=None,
     atol=0.0,
+    shard_dofs=False,
 ):
     """Fully-fused sharded Newton step for GENERAL problems (VERDICT r2 item 3).
 
@@ -737,9 +738,12 @@ def make_sharded_newton_step_general(
     per-qmap internal-state pytrees (padded via the returned ``pad_states``)
     and ``scales`` a list (per qmap) of lists of term scales.
 
-    Dof vectors are replicated (the dof-sharded layout stays with the
-    specialized flagship step); the CG is Jacobi-preconditioned — mesh-
-    agnostic, where the two-level correction assumes a structured grid.
+    With ``shard_dofs=True`` the dof vectors (u, R, CG workspace, bc arrays,
+    f_ext) are SHARDED over the mesh axis (the same all_gather /
+    psum_scatter sequence-parallel pattern as the flagship step — per-device
+    persistent dof memory O(ndofs / n_devices)); default False keeps them
+    replicated. The CG is Jacobi-preconditioned either way — mesh-agnostic,
+    where the two-level correction assumes a structured grid.
     """
     import numpy as _np
 
@@ -748,6 +752,7 @@ def make_sharded_newton_step_general(
     axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     ndev = _axis_size(mesh, axis)
     ndofs = problem.u.space.num_dofs
+    nd_p = ndofs + ((-ndofs) % ndev) if shard_dofs else ndofs
     if rtol is None:
         rtol = 1e-10 if float(jnp.finfo(jnp.zeros(0).dtype).eps) < 1e-9 else 1e-6
 
@@ -1050,6 +1055,7 @@ def make_sharded_newton_step_general(
     esv_consts, props_consts = shard_consts()
 
     P_ax, P_rep = P(axis), P()
+    u_spec = P_ax if shard_dofs else P_rep
     table_specs = tuple((P_ax,) * 4 for _ in qinfos)
     state_specs = tuple(P_ax for _ in qinfos)
     esv_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in esv_consts)
@@ -1059,23 +1065,46 @@ def make_sharded_newton_step_general(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P_rep,  # u
+            u_spec,  # u
             table_specs,
             state_specs,
             esv_specs,
             prop_specs,
-            P_rep,  # bc_mask
-            P_rep,  # bc_vals
+            u_spec,  # bc_mask
+            u_spec,  # bc_vals
             P_rep,  # dt
             P_rep,  # scales (flat tuple)
-            P_rep,  # f_ext
+            u_spec,  # f_ext
         ),
-        out_specs=(P_rep, tuple(P_ax for _ in qinfos), P_rep),
+        out_specs=(u_spec, tuple(P_ax for _ in qinfos), P_rep),
     )
     def _step(u, tables, states, esv_c, props_c, bc_mask, bc_vals, dt,
               scales_flat, f_ext):
+        # --- dof-layout helpers (VERDICT r3 roadmap: dof sharding for the
+        # GENERAL step, same sequence-parallel pattern as the flagship) ----
+        if shard_dofs:
+            def gather_full(v):
+                return jax.lax.all_gather(v, axis, axis=0, tiled=True)
+
+            def reduce_assembled(part):
+                return jax.lax.psum_scatter(
+                    part, axis, scatter_dimension=0, tiled=True
+                )
+
+            def vdot(a, b):
+                return jax.lax.psum(jnp.vdot(a, b), axis)
+        else:
+            def gather_full(v):
+                return v
+
+            def reduce_assembled(part):
+                return jax.lax.psum(part, axis)
+
+            def vdot(a, b):
+                return jnp.vdot(a, b)
+
         def norm(v):
-            return jnp.sqrt(jnp.vdot(v, v))
+            return jnp.sqrt(vdot(v, v))
 
         # unflatten per-qmap scales
         scales = []
@@ -1087,19 +1116,20 @@ def make_sharded_newton_step_general(
         u = jnp.where(bc_mask, bc_vals, u)
 
         def assemble(dofmap_l, vals_e, dtype):
-            part = jnp.zeros(ndofs, dtype).at[dofmap_l.ravel()].add(
+            part = jnp.zeros(nd_p, dtype).at[dofmap_l.ravel()].add(
                 vals_e.ravel()
             )
-            return part  # psum'd by the caller once over all qmaps
+            return part  # reduce_assembled by the caller once over all qmaps
 
         def evaluate(u_):
             """Full update: residual + element matrices + states, all qmaps."""
-            R_part = jnp.zeros(ndofs, u_.dtype)
+            u_full = gather_full(u_)
+            R_part = jnp.zeros(nd_p, u_.dtype)
             K_es, new_states = [], []
             for qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc, sc in zip(
                 qinfos, locals_, tables, states, esv_c, props_c, scales
             ):
-                u_e = u_[dofmap_l]
+                u_e = u_full[dofmap_l]
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
                 flux, Ct, st_new = lk["integrate"](x, st_l, pc, dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
@@ -1110,41 +1140,43 @@ def make_sharded_newton_step_general(
                 R_part = R_part + assemble(dofmap_l, r_e, u_.dtype)
                 K_es.append(K_e)
                 new_states.append(st_new)
-            R = jax.lax.psum(R_part, axis) - f_ext
+            R = reduce_assembled(R_part) - f_ext
             R = jnp.where(bc_mask, 0.0, R)
             return R, K_es, new_states
 
         def residual_norm(u_):
-            R_part = jnp.zeros(ndofs, u_.dtype)
+            u_full = gather_full(u_)
+            R_part = jnp.zeros(nd_p, u_.dtype)
             for qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc, sc in zip(
                 qinfos, locals_, tables, states, esv_c, props_c, scales
             ):
-                u_e = u_[dofmap_l]
+                u_e = u_full[dofmap_l]
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
                 flux, st_new = lk["flux"](x, st_l, pc, dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
                 R_part = R_part + assemble(dofmap_l, r_e, u_.dtype)
-            R = jax.lax.psum(R_part, axis) - f_ext
+            R = reduce_assembled(R_part) - f_ext
             return norm(jnp.where(bc_mask, 0.0, R))
 
         def newton_update(u, R, K_es, res_norm):
-            diag = jnp.zeros(ndofs, u.dtype)
+            diag = jnp.zeros(nd_p, u.dtype)
             for tbl, K_e in zip(tables, K_es):
                 dofmap_l = tbl[3]
-                diag = diag + jnp.zeros(ndofs, u.dtype).at[
+                diag = diag + jnp.zeros(nd_p, u.dtype).at[
                     dofmap_l.ravel()
                 ].add(jnp.diagonal(K_e, axis1=1, axis2=2).ravel())
-            diag = jax.lax.psum(diag, axis)
+            diag = reduce_assembled(diag)
             diag = jnp.where(bc_mask | (jnp.abs(diag) < 1e-30), 1.0, diag)
 
             def Av(v):
                 v0 = jnp.where(bc_mask, 0.0, v)
-                y = jnp.zeros(ndofs, v.dtype)
+                v_full = gather_full(v0)
+                y = jnp.zeros(nd_p, v.dtype)
                 for (dNdx_l, wdetJ_l, x_q_l, dofmap_l), K_e in zip(tables, K_es):
-                    y_e = jnp.einsum("eij,ej->ei", K_e, v0[dofmap_l])
+                    y_e = jnp.einsum("eij,ej->ei", K_e, v_full[dofmap_l])
                     y = y + assemble(dofmap_l, y_e, v.dtype)
-                y = jax.lax.psum(y, axis)
+                y = reduce_assembled(y)
                 return jnp.where(bc_mask, v, y)
 
             b = jnp.where(bc_mask, 0.0, -R)
@@ -1156,17 +1188,17 @@ def make_sharded_newton_step_general(
             def cg_body(k, cg):
                 x, r, z, p, rz = cg
                 Ap = Av(p)
-                den = jnp.vdot(p, Ap)
+                den = vdot(p, Ap)
                 alpha = jnp.where(jnp.abs(den) > 1e-30, rz / den, 0.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = r / diag
-                rz_new = jnp.vdot(r, z)
+                rz_new = vdot(r, z)
                 beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
                 return (x, r, z, p * beta + z, rz_new)
 
             du, *_ = jax.lax.fori_loop(
-                0, n_cg, cg_body, (x0, r0, z0, p0, jnp.vdot(r0, z0))
+                0, n_cg, cg_body, (x0, r0, z0, p0, vdot(r0, z0))
             )
 
             def ls_cond(c):
@@ -1226,19 +1258,29 @@ def make_sharded_newton_step_general(
         f_ext = (
             jnp.zeros(ndofs, u.dtype) if f_ext is None else jnp.asarray(f_ext)
         )
+        bc_mask = jnp.asarray(bc_mask)
+        bc_vals = jnp.asarray(bc_vals, u.dtype)
+        if shard_dofs and nd_p != ndofs:
+            u, _ = pad_to_multiple(u, ndev)
+            # padded dofs are pinned to 0 like Dirichlet rows
+            bc_mask = jnp.concatenate(
+                [bc_mask, jnp.ones(nd_p - ndofs, bc_mask.dtype)]
+            )
+            bc_vals, _ = pad_to_multiple(bc_vals, ndev)
+            f_ext, _ = pad_to_multiple(f_ext, ndev)
         u_new, new_states, rn = _step(
             u,
             tuple(qi["tables"] for qi in qinfos),
             tuple(states_p),
             tuple(esv_consts),
             tuple(props_consts),
-            jnp.asarray(bc_mask),
-            jnp.asarray(bc_vals, u.dtype),
+            bc_mask,
+            bc_vals,
             jnp.asarray(dt, u.dtype),
             scales_flat,
             f_ext,
         )
-        return u_new, unpad_states(new_states), rn
+        return u_new[:ndofs], unpad_states(new_states), rn
 
     return jax.jit(step), pad_states
 

@@ -480,3 +480,105 @@ def test_blocked_step_interface():
     z_sh, states, rn = step(jnp.asarray(z0), states0, mask, vals, 0.0)
     assert float(rn) < 1e-7 * E
     np.testing.assert_allclose(np.asarray(z_sh), z_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_general_step_shard_dofs_two_materials_thermal():
+    """`shard_dofs=True` on the GENERAL step (roadmap r3 gap: dof vectors
+    were replicated): the two-material mechanics problem and the thermal
+    ESV problem both reproduce their replicated-dof solutions exactly —
+    including the dof-padding path (44- and 72-dof vectors over 8 devices)."""
+    cmesh = device_mesh(8)
+
+    # -- two-material mechanics (multi-qmap assembly + plastic state) -----
+    mesh = create_unit_square(5, 5, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 3 * sig0 / E
+    cells = np.arange(mesh.num_cells)
+    subsets = [cells[cells % 2 == 0], cells[cells % 2 == 1]]
+
+    def build_mech():
+        mats, qmaps = [], []
+        for sub, hard in zip(
+            subsets,
+            (LinearHardening(sig0, 1000.0), VoceHardening(sig0, 500.0, 1e3)),
+        ):
+            m = Material(
+                vonMisesIsotropicHardening(LinearElasticIsotropic(E, nu), hard)
+            )
+            q = QuadratureMap(V, 2, m, cells=sub)
+            q.register_gradient("Strain", mandel_strain_2d())
+            mats.append(m)
+            qmaps.append(q)
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            qmaps, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return mats, qmaps, bcs, prob
+
+    results = {}
+    for shard_dofs in (False, True):
+        mats, qmaps, bcs, prob = build_mech()
+        step, _ = make_sharded_newton_step_general(
+            prob, cmesh, n_newton=14, n_cg=300, shard_dofs=shard_dofs
+        )
+        mask, vals = combine_bcs(bcs, V.num_dofs)
+        u_sh, states, rn = step(
+            jnp.zeros(V.num_dofs),
+            [m.data_manager.s0.internal for m in mats],
+            mask,
+            vals,
+            0.0,
+        )
+        assert float(rn) < 1e-8 * E
+        results[shard_dofs] = (np.asarray(u_sh), states)
+
+    u_rep, st_rep = results[False]
+    u_shd, st_shd = results[True]
+    assert u_shd.shape == (V.num_dofs,)
+    np.testing.assert_allclose(u_shd, u_rep, rtol=1e-9, atol=1e-12)
+    for a, b in zip(st_rep, st_shd):
+        np.testing.assert_allclose(
+            np.asarray(b["p"]), np.asarray(a["p"]), rtol=1e-9, atol=1e-14
+        )
+
+    # -- thermal ESV problem (non-default residual term, scalar space) ----
+    A, B = 0.0375, 2.165e-4
+    T0v, T1v = 300.0, 800.0
+    mesh_t = create_rectangle((0, 0), (1.0, 0.2), (10, 3), "quad")
+    Vt = FunctionSpace(mesh_t, 1, ())
+
+    def build_thermal():
+        mat = Material(NonlinearHeatTransfer(A=A, B=B, dim=2))
+        qmap = QuadratureMap(Vt, 2, mat)
+        qmap.register_gradient("TemperatureGradient", scalar_gradient())
+        qmap.register_external_state_variable("Temperature", scalar_value())
+        left = locate_dofs_geometrical(Vt, lambda x: np.isclose(x[:, 0], 0.0))
+        right = locate_dofs_geometrical(Vt, lambda x: np.isclose(x[:, 0], 1.0))
+        bcs = [DirichletBC(left, T0v), DirichletBC(right, T1v)]
+        T = Function(Vt)
+        T.x[:] = T0v
+        prob = NonlinearMaterialProblem(
+            qmap,
+            T,
+            bcs=bcs,
+            residual_terms=[[("HeatFlux", scalar_gradient())]],
+            options={"ksp_type": "lu", "atol": 1e-8},
+        )
+        return mat, bcs, T, prob
+
+    mat1, bcs1, T1f, prob1 = build_thermal()
+    conv, _ = prob1.solve()
+    assert conv
+
+    mat2, bcs2, _, prob2 = build_thermal()
+    step, _ = make_sharded_newton_step_general(
+        prob2, cmesh, n_newton=12, n_cg=200, shard_dofs=True
+    )
+    mask, vals = combine_bcs(bcs2, Vt.num_dofs)
+    u0 = np.full(Vt.num_dofs, T0v)
+    u0[mask] = vals[mask]
+    u_sh, _, rn = step(
+        jnp.asarray(u0), [mat2.data_manager.s0.internal], mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * abs(T1v)
+    np.testing.assert_allclose(np.asarray(u_sh), T1f.x, rtol=1e-8, atol=1e-8)
