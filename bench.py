@@ -317,20 +317,30 @@ def main():
         _vb = jnp.asarray(_rngb.random(_Vb.num_dofs).astype(np.float32))
 
         @jax.jit
-        def _mv_loop(v):
+        def _mv_loop(v, k):
             return jax.lax.fori_loop(
-                0, 20,
+                0, k,
                 lambda i, v: v * 0.999999 + 1e-12 * jnp.sum(_domb.spmv(_Kpb, v)),
                 v,
             )
 
-        float(jnp.sum(_mv_loop(_vb)))
-        _bb = np.inf
-        for _ in range(3):
-            _t0 = time.perf_counter()
-            float(jnp.sum(_mv_loop(_vb)))
-            _bb = min(_bb, time.perf_counter() - _t0)
-        extras["banded_matvec_66kdof_ms"] = float(_bb / 20 * 1e3)
+        # DIFFERENTIAL timing (K=24 vs K=4): a single-dispatch loop carries
+        # ~1.8 ms of tunnel dispatch latency, which at r2/r3-kernel speeds
+        # DOMINATES the per-matvec quotient (r2 recorded 2.24 ms of which
+        # ~1.75 ms was dispatch). The differential cancels it and reports the
+        # steady-state matvec — NOT comparable to the r2 number.
+        def _t_mv(k):
+            float(jnp.sum(_mv_loop(_vb, k)))
+            best = np.inf
+            for _ in range(3):
+                _t0 = time.perf_counter()
+                float(jnp.sum(_mv_loop(_vb, k)))
+                best = min(best, time.perf_counter() - _t0)
+            return best
+
+        extras["banded_matvec_66kdof_ms"] = float(
+            (_t_mv(24) - _t_mv(4)) / 20 * 1e3
+        )
     except Exception as e:  # pragma: no cover
         extras["banded_matvec_66kdof_ms"] = f"failed: {type(e).__name__}"
 

@@ -133,7 +133,7 @@ class QuadratureDomain:
         dtype = jnp.asarray(table).dtype
         fn = self._banded_takes.get((key, dtype))
         if fn is None:
-            fn = bg.make_banded_take(plan, dtype)
+            fn = bg._best_take(plan, dtype)
             self._banded_takes[(key, dtype)] = fn
         return fn(table)
 

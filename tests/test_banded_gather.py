@@ -48,6 +48,12 @@ def test_plan_and_take_roundtrip():
     np.testing.assert_allclose(np.asarray(banded_take_xla(table, plan)), ref, rtol=1e-13)
     got = np.asarray(make_banded_take(plan, table.dtype, interpret=True)(table))
     np.testing.assert_allclose(got, ref, rtol=1e-13)
+    from dolfinx_materials_tpu.ops.banded_gather import make_banded_take_vmem
+
+    got_v = np.asarray(
+        make_banded_take_vmem(plan, table.dtype, interpret=True)(table)
+    )
+    np.testing.assert_allclose(got_v, ref, rtol=1e-13)
 
 
 def test_slotwise_assembly_equals_scatter():
@@ -69,6 +75,14 @@ def test_slotwise_assembly_equals_scatter():
         make_banded_take(plan, jnp.float64, interpret=True)(jnp.asarray(vals.ravel()))
     )
     np.testing.assert_allclose(y2, y_ref, rtol=1e-12, atol=1e-12)
+    from dolfinx_materials_tpu.ops.banded_gather import make_banded_take_vmem
+
+    y3 = np.asarray(
+        make_banded_take_vmem(plan, jnp.float64, interpret=True)(
+            jnp.asarray(vals.ravel())
+        )
+    )
+    np.testing.assert_allclose(y3, y_ref, rtol=1e-12, atol=1e-12)
 
 
 def test_reorder_mesh_improves_or_keeps_band():
