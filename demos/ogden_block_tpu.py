@@ -69,11 +69,15 @@ REF = {  # reference timing_results.csv, total = constitutive + linear solve
 }
 
 
-def build(N):
+def build(N, cell_type="hexahedron", degree=1):
+    """``cell_type="tetrahedron", degree=2`` matches the reference protocol's
+    P2 tets exactly (its meshes are gmsh P2 tets, hyperelasticity.py); the
+    tet dofmap routes the fused step through the banded lane-gather engine
+    instead of the structured stencil."""
     mat = Material(Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9))
-    mesh = create_unit_cube(N, N, N, "hexahedron")
-    V = FunctionSpace(mesh, degree=1, shape=(3,))
-    qmap = QuadratureMap(V, 2, mat)
+    mesh = create_unit_cube(N, N, N, cell_type)
+    V = FunctionSpace(mesh, degree=degree, shape=(3,))
+    qmap = QuadratureMap(V, 2 * degree, mat)
     qmap.register_gradient("F", deformation_gradient_3d())
     bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 0.0))
     top_z = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 1.0), 2)
@@ -81,10 +85,11 @@ def build(N):
     return mat, qmap, V, [DirichletBC(bottom, 0.0), bc_top], bc_top
 
 
-def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1):
+def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1,
+                 cell_type="hexahedron", degree=1):
     """Build + run the 10-step compression; returns (u, warm seconds,
     per-step |R|)."""
-    mat, qmap, V, bcs, bc_top = build(N)
+    mat, qmap, V, bcs, bc_top = build(N, cell_type, degree)
     prob = NonlinearMaterialProblem(qmap, Function(V), bcs=bcs)
     step, pad_state = make_sharded_newton_step(
         qmap, prob, device_mesh(n_devices), n_newton=n_newton, n_cg=n_cg,
@@ -107,9 +112,10 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1):
         jax.block_until_ready(u)
         return u, [float(r) for r in rns]
 
-    print(f"N={N}: {N**3} elements, {V.num_dofs} dofs, {qmap.num_points} "
-          f"Gauss points, {n_newton} Newton x {n_cg} CG, "
-          f"{n_devices} device(s)")
+    ne = N**3 * (6 if cell_type == "tetrahedron" else 1)
+    print(f"N={N}: {ne} {cell_type[:3]} elements (P{degree}), {V.num_dofs} "
+          f"dofs, {qmap.num_points} Gauss points, {n_newton} Newton x "
+          f"{n_cg} CG, {n_devices} device(s)")
     t0 = time.perf_counter()
     u, rns = run_all()
     t_first = time.perf_counter() - t0
@@ -119,8 +125,12 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1):
     print(f"  first (incl. compile): {t_first:.1f}s   "
           f"warm 10-step total: {t_warm:.2f}s")
     print("  per-step |R|: " + " ".join(f"{r:.1e}" for r in rns))
-    label = ("coarse (~3k elements)" if N == 14
-             else "fine (~6.7k elements)" if N == 19 else None)
+    if cell_type == "tetrahedron" and degree == 2:
+        label = ("coarse (~3k elements)" if N == 8
+                 else "fine (~6.7k elements)" if N == 10 else None)
+    else:
+        label = ("coarse (~3k elements)" if N == 14
+                 else "fine (~6.7k elements)" if N == 19 else None)
     if label:
         ref = REF[label]
         print(f"  reference {label}, 10-step total: "
@@ -130,15 +140,22 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1):
     return u, t_warm, rns
 
 
-def main(N=14, n_newton=20, n_cg=150):
+def main(N=14, n_newton=20, n_cg=150, cell_type="hexahedron", degree=1):
     run_10_steps(N, n_newton, n_cg,
                  n_devices=1 if jax.default_backend() == "tpu"
-                 else min(8, jax.device_count()))
+                 else min(8, jax.device_count()),
+                 cell_type=cell_type, degree=degree)
 
 
 if __name__ == "__main__":
+    # ogden_block_tpu.py [N] [n_newton] [n_cg] [tet]
+    # "tet" switches to the reference protocol's P2 tetrahedra (N=8 matches
+    # the coarse ~3k-element mesh, N=10 the fine ~6.7k one)
+    tet = len(sys.argv) > 4 and sys.argv[4].startswith("tet")
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 14,
+        int(sys.argv[1]) if len(sys.argv) > 1 else (8 if tet else 14),
         int(sys.argv[2]) if len(sys.argv) > 2 else 20,
         int(sys.argv[3]) if len(sys.argv) > 3 else 150,
+        cell_type="tetrahedron" if tet else "hexahedron",
+        degree=2 if tet else 1,
     )

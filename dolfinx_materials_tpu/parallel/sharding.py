@@ -122,16 +122,22 @@ def make_sharded_newton_step(
     the wide dof traffic rides ICI within a host-group and only the reduced
     stage crosses DCN. Validated on a virtual 2 x 4 mesh (tests/test_sharding.py).
 
-    Preconditioning: on structured grids ``pc="two_level"`` (default) adds a
-    FROZEN two-level correction to the Jacobi-CG — the coarse operator
-    P^T K(u0) P over ``pc_boxes``-per-axis node boxes is assembled and
-    dense-INVERTED once per step from the entering tangent (triangular LU
-    solves are sequential ~ms-latency ops on TPU; the per-iteration coarse
-    apply must be one small matmul), and the structured restriction/
-    prolongation are pure reshape-reduces (no gathers). Cuts the CG
-    iterations needed for stiff/elongated meshes by ~5x at BETTER residuals
-    (docs/perf.md); ``pc="jacobi"`` restores the plain smoother. Under
-    ``shard_dofs`` the coarse restriction is gather-free: the local slice is
+    Preconditioning: ``pc="two_level"`` (default) adds a FROZEN two-level
+    correction to the Jacobi-CG — the coarse operator P^T K(u0) P over
+    ``pc_boxes``-per-axis node boxes is assembled and dense-INVERTED once per
+    step from the entering tangent (triangular LU solves are sequential
+    ~ms-latency ops on TPU; the per-iteration coarse apply must be one small
+    matmul). On structured grids the restriction/prolongation are pure
+    reshape-reduces (no gathers); on UNSTRUCTURED meshes the coarse space is
+    built from coordinate-box node aggregates (the host solver's
+    ``_node_aggregates`` scheme) with a segment-sum restriction and a
+    table-gather prolongation — (ndofs,)-sized scalar ops once per CG
+    iteration, negligible next to the matvec. Cuts the CG iterations needed
+    for stiff/elongated meshes by ~5x at BETTER residuals (docs/perf.md), and
+    on stiff 3D unstructured tangents (near-incompressible Ogden, K/mu ~2500,
+    P2 tets) it is the difference between converging and not;
+    ``pc="jacobi"`` restores the plain smoother. Under ``shard_dofs`` the
+    structured coarse restriction is gather-free: the local slice is
     box-reduced in place and only the (ncoarse,) partial sums are psummed.
 
     Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
@@ -339,9 +345,16 @@ def make_sharded_newton_step(
                 )
         return y.reshape(-1)
 
-    # --- frozen two-level coarse space (structured grids only) ------------
-    two_level = pc == "two_level" and stencil is not None
-    if two_level:
+    # --- frozen two-level coarse space -------------------------------------
+    # structured grids: node boxes with reshape-reduce transfers (gather-free);
+    # unstructured meshes: coordinate-box node aggregates (the host solver's
+    # _node_aggregates scheme) with segment-sum restriction / table-gather
+    # prolongation — the (ndofs,)-sized scalar scatter/gather per CG iteration
+    # is ~us-scale at these sizes, and without the coarse correction the
+    # Jacobi-CG directions on stiff 3D unstructured tangents (K/mu ~ 2500)
+    # are too inexact for Newton to converge at all (P2-tet Ogden, N >= 8).
+    two_level = pc == "two_level"
+    if two_level and stencil is not None:
         nodes_per_axis = tuple(g + 1 for g in stencil)
         nb = tuple(min(pc_boxes, na) for na in nodes_per_axis)
         bsz = tuple(-(-na // b) for na, b in zip(nodes_per_axis, nb))  # ceil
@@ -360,40 +373,82 @@ def make_sharded_newton_step(
         cdof_table = jnp.asarray(
             cdof_of_dof[dofmap_host].astype(np.int32)
         )  # (ne_pad, ndof_el)
+
+        def restrict_full(r_full):
+            """(>= ndofs,) replicated residual -> (ncoarse,) box sums —
+            reshape-reduce, no gathers."""
+            g = r_full[:ndofs].reshape(nodes_per_axis + (ncomp,))
+            g = jnp.pad(g, [(0, p) for p in gpad] + [(0, 0)])
+            if len(stencil) == 2:
+                rc = g.reshape(
+                    nb[0], bsz[0], nb[1], bsz[1], ncomp
+                ).sum(axis=(1, 3))
+            else:
+                rc = g.reshape(
+                    nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp
+                ).sum(axis=(1, 3, 5))
+            return rc.reshape(-1)
+
+        def prolong_full(wc):
+            """(ncoarse,) -> (ndofs,) piecewise-constant prolongation."""
+            if len(stencil) == 2:
+                g = jnp.broadcast_to(
+                    wc.reshape(nb[0], 1, nb[1], 1, ncomp),
+                    (nb[0], bsz[0], nb[1], bsz[1], ncomp),
+                ).reshape(nb[0] * bsz[0], nb[1] * bsz[1], ncomp)
+                g = g[: nodes_per_axis[0], : nodes_per_axis[1]]
+            else:
+                g = jnp.broadcast_to(
+                    wc.reshape(nb[0], 1, nb[1], 1, nb[2], 1, ncomp),
+                    (nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp),
+                ).reshape(
+                    nb[0] * bsz[0], nb[1] * bsz[1], nb[2] * bsz[2], ncomp
+                )
+                g = g[
+                    : nodes_per_axis[0], : nodes_per_axis[1],
+                    : nodes_per_axis[2],
+                ]
+            return g.reshape(-1)
+
+    elif two_level:
+        # UNSTRUCTURED meshes: coordinate-box node aggregates (the host
+        # solver's _node_aggregates scheme, solvers.py). Restriction is a
+        # segment-sum over the dof -> aggregate map and prolongation a gather
+        # from the (ncoarse,) coarse vector — (ndofs,)-sized scalar ops once
+        # per CG iteration, negligible next to the matvec. The coarse-dof
+        # budget mirrors the host solver: nagg*ncomp <= ~2048 so the frozen
+        # dense inverse stays one small matmul.
+        coords = np.asarray(qmap.space.node_coords, dtype=np.float64)
+        nnodes, dim = coords.shape
+        lo = coords.min(axis=0)
+        span = np.maximum(coords.max(axis=0) - lo, 1e-30)
+        target = max(1, min(2048 // ncomp, nnodes))
+        b = max(1, min(int(pc_boxes), int(np.floor(target ** (1.0 / dim)))))
+        qz = np.minimum((coords - lo) / span * b, b - 1).astype(np.int64)
+        keys = qz[:, 0]
+        for d in range(1, dim):
+            keys = keys * b + qz[:, d]
+        _, agg = np.unique(keys, return_inverse=True)
+        nagg = int(agg.max()) + 1
+        ncoarse = nagg * ncomp
+        cdof_of_dof = (
+            agg[:, None] * ncomp + np.arange(ncomp)[None, :]
+        ).reshape(-1)
+        cdof_ids = jnp.asarray(cdof_of_dof.astype(np.int32))
+        dofmap_host = np.asarray(dofmap)  # pads -> dof 0 (zero K_e rows)
+        cdof_table = jnp.asarray(cdof_of_dof[dofmap_host].astype(np.int32))
+
+        def restrict_full(r_full):
+            return jax.ops.segment_sum(
+                r_full[:ndofs], cdof_ids, num_segments=ncoarse
+            )
+
+        def prolong_full(wc):
+            return wc[cdof_ids]
+
     else:
         ncoarse = 1
         cdof_table = jnp.zeros_like(jnp.asarray(dofmap))
-
-    def restrict_full(r_full):
-        """(>= ndofs,) replicated residual -> (ncoarse,) box sums —
-        reshape-reduce, no gathers."""
-        g = r_full[:ndofs].reshape(nodes_per_axis + (ncomp,))
-        g = jnp.pad(g, [(0, p) for p in gpad] + [(0, 0)])
-        if len(stencil) == 2:
-            rc = g.reshape(nb[0], bsz[0], nb[1], bsz[1], ncomp).sum(axis=(1, 3))
-        else:
-            rc = g.reshape(
-                nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp
-            ).sum(axis=(1, 3, 5))
-        return rc.reshape(-1)
-
-    def prolong_full(wc):
-        """(ncoarse,) -> (ndofs,) piecewise-constant prolongation."""
-        if len(stencil) == 2:
-            g = jnp.broadcast_to(
-                wc.reshape(nb[0], 1, nb[1], 1, ncomp),
-                (nb[0], bsz[0], nb[1], bsz[1], ncomp),
-            ).reshape(nb[0] * bsz[0], nb[1] * bsz[1], ncomp)
-            g = g[: nodes_per_axis[0], : nodes_per_axis[1]]
-        else:
-            g = jnp.broadcast_to(
-                wc.reshape(nb[0], 1, nb[1], 1, nb[2], 1, ncomp),
-                (nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp),
-            ).reshape(
-                nb[0] * bsz[0], nb[1] * bsz[1], nb[2] * bsz[2], ncomp
-            )
-            g = g[: nodes_per_axis[0], : nodes_per_axis[1], : nodes_per_axis[2]]
-        return g.reshape(-1)
 
     tables = tables + (cdof_table,)
 

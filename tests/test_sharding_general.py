@@ -293,6 +293,59 @@ def test_specialized_step_banded_unstructured():
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
 
 
+def test_specialized_step_two_level_unstructured():
+    """The frozen two-level coarse correction now builds on UNSTRUCTURED
+    meshes too (coordinate-box node aggregates, segment-sum restriction /
+    table-gather prolongation). With the coarse space active the same
+    problem converges in a 140-CG budget where plain Jacobi needs ~400
+    (test above) — and still matches host LU."""
+    from scipy.spatial import Delaunay
+
+    from dolfinx_materials_tpu.fem.mesh import Mesh
+    from dolfinx_materials_tpu.parallel import make_sharded_newton_step
+
+    cmesh = device_mesh(8)
+    rng = np.random.default_rng(1)
+    g = 28
+    xx, yy = np.meshgrid(np.arange(g + 1), np.arange(g + 1))
+    pts = np.stack([xx, yy], -1).reshape(-1, 2) / g
+    pts += np.where(
+        ((pts > 0) & (pts < 1)), rng.uniform(-0.2 / g, 0.2 / g, pts.shape), 0.0
+    )
+    mesh = reorder_mesh(Mesh(pts, Delaunay(pts).simplices.astype(np.int32), "triangle"))
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 2 * sig0 / E
+
+    def build():
+        m = Material(
+            vonMisesIsotropicHardening(
+                LinearElasticIsotropic(E, nu), VoceHardening(sig0, 500.0, 1e3)
+            )
+        )
+        q = QuadratureMap(V, 2, m)
+        q.register_gradient("Strain", mandel_strain_2d())
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    step, _ = make_sharded_newton_step(
+        q2, prob2, cmesh, n_newton=14, n_cg=140, pc="two_level"
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs), m2.data_manager.s0.internal, mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * E
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
+
+
 def test_general_step_transient_phase_change():
     """TRANSIENT theta-scheme through the general fused step: the Enthalpy
     ISV appears in the residual (field = internal state variable), the
