@@ -401,6 +401,25 @@ def main():
     except Exception as e:  # pragma: no cover
         extras["ogden3d_solve_10steps_s"] = f"failed: {type(e).__name__}"
 
+    try:
+        if over_budget():
+            raise TimeoutError
+        # Same benchmark at the reference's EXACT discretization: P2
+        # tetrahedra at the matched coarse element count (N=8 -> 3,072 tets
+        # ~ the reference's ~3k-element gmsh mesh), 14-point degree-4 Keast
+        # quadrature, routed through the banded lane-gather engine + the
+        # coordinate-box two-level coarse correction (no structured stencil
+        # anywhere). Closes the "P1 hex vs P2 tet" honest-delta of the row
+        # above; remaining deltas: single material, f32.
+        _, _t_tet, _rns_tet = _ogmod.run_10_steps(
+            8, n_newton=20, n_cg=100, n_devices=1,
+            cell_type="tetrahedron", degree=2,
+        )
+        extras["ogden3d_tet_p2_solve_10steps_s"] = float(_t_tet)
+        extras["ogden3d_tet_p2_final_residual"] = float(_rns_tet[-1])
+    except Exception as e:  # pragma: no cover
+        extras["ogden3d_tet_p2_solve_10steps_s"] = f"failed: {type(e).__name__}"
+
     print(
         json.dumps(
             {

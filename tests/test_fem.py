@@ -20,10 +20,14 @@ E, nu = 70e3, 0.3
 sig0 = 500.0
 
 
+@pytest.mark.parametrize("deg", [1, 2, 3, 4, 5, 6])
 @pytest.mark.parametrize("cell", ["triangle", "quad", "tetrahedron", "hexahedron"])
-def test_quadrature_exactness(cell):
-    deg = 3
+def test_quadrature_exactness(cell, deg):
+    """Every rule (symmetric Dunavant/Keast on simplices, tensor/Duffy
+    otherwise) integrates all monomials of its stated degree exactly; the
+    numeric check is the guard on the hand-entered simplex tables."""
     pts, wts = quadrature_rule(cell, deg)
+    assert (wts > 0).all(), "positive weights expected from every rule"
     dim = pts.shape[1]
     # integrate monomials of total degree <= deg over the reference cell
     rng = np.random.default_rng(0)
