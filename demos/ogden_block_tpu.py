@@ -26,8 +26,12 @@ Measured on one v5e chip (f32, early-exit Newton at rtol=2e-5, warm):
 
 Honest deltas vs the reference protocol: single-material block in uniaxial
 compression (the reference block carries quasi-rigid SVK sphere inclusions —
-its E_pen=1e12 contrast is out of f32-CG reach), P1 hexes vs P2 tets at
-matched ELEMENT counts, f32 with early-exit residuals (the reference solves
+its E_pen=1e12 contrast is out of f32-CG reach), and f32 with early-exit
+residuals. The DISCRETIZATION delta is closed: the ``tet`` mode runs the
+reference's exact P2 tetrahedra at matched element counts (N=8 ~ coarse,
+N=10 ~ fine; 14-point Keast quadrature) through the banded lane-gather
+engine + the coordinate-box two-level PC — recorded by bench.py as
+``ogden3d_tet_p2_solve_10steps_s``. f32 caveat (the reference solves
 to snes_rtol 1e-8 in f64; the f32 residual floor here is set by K=1e9 —
 roundoff ~K*eps_f32 = 60 Pa per Gauss point). Measured f32 accuracy: running
 the IDENTICAL 10-step protocol at N=4 in f32-TPU (20 Newton x 100 CG,

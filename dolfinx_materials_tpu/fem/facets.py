@@ -39,7 +39,14 @@ def _facet_cell_type(mesh):
 
 def _facet_nodes(space: FunctionSpace, facet_verts):
     """Global node ids of all space nodes on each facet, ordered to match the
-    facet reference element (vertices first, then edge midpoints)."""
+    facet reference element (vertices first, then edge midpoints). Ids are
+    assembled in the CANONICAL layout (vertices, nv+edge, face/center) and
+    mapped through ``space.node_renum`` at the end when the space was
+    spatially renumbered (fem/space.py:_renumber_nodes)."""
+
+    def renum(ids):
+        return ids if space.node_renum is None else space.node_renum[ids]
+
     mesh = space.mesh
     if space.degree == 1:
         return facet_verts
@@ -66,9 +73,9 @@ def _facet_nodes(space: FunctionSpace, facet_verts):
     )
     if fct == "interval":
         # interval P2 node order: v0, v1, midpoint
-        return np.concatenate([facet_verts, mids], axis=1)
+        return renum(np.concatenate([facet_verts, mids], axis=1))
     if fct == "triangle":
-        return np.concatenate([facet_verts, mids], axis=1)
+        return renum(np.concatenate([facet_verts, mids], axis=1))
     # quad facet of a Q2 hexahedron: verts, edge mids, face-center node
     # (matches ReferenceElement("quad", 2) ordering: 4 verts, 4 mids, center)
     face_lookup = {
@@ -81,7 +88,7 @@ def _facet_nodes(space: FunctionSpace, facet_verts):
         ],
         dtype=np.int32,
     )
-    return np.concatenate([facet_verts, mids, centers], axis=1)
+    return renum(np.concatenate([facet_verts, mids, centers], axis=1))
 
 
 def _facet_geom_nodes(mesh, facet_verts, fct):

@@ -106,7 +106,10 @@ def curve_mesh(mesh: Mesh, transform):
     """
     from .space import FunctionSpace
 
-    V2 = FunctionSpace(mesh, degree=2, shape=())
+    # renumber=False: geometry stays in the CANONICAL layout (vertices, then
+    # nv+edge mids, ...) that facets.py's _facet_geom_nodes id arithmetic and
+    # the degree-2 space adoption both assume
+    V2 = FunctionSpace(mesh, degree=2, shape=(), renumber=False)
     curved = Mesh(
         points=np.asarray(transform(mesh.points)),
         cells=mesh.cells,

@@ -15,11 +15,18 @@ from .mesh import Mesh
 
 
 class FunctionSpace:
-    def __init__(self, mesh: Mesh, degree: int = 1, shape: tuple = ()):
+    def __init__(
+        self, mesh: Mesh, degree: int = 1, shape: tuple = (), renumber=True
+    ):
         self.mesh = mesh
         self.degree = degree
         self.shape = tuple(shape)
         self.ncomp = int(np.prod(self.shape)) if self.shape else 1
+        #: old node id -> new node id when the P2 node set was spatially
+        #: renumbered (None = identity). Canonical-layout id arithmetic
+        #: (vertices, then nv+edge, then face/center — facets.py) must map
+        #: its results through this.
+        self.node_renum = None
 
         cell = mesh.cell_type
         if degree == 1:
@@ -57,6 +64,8 @@ class FunctionSpace:
                 # nodes (same vertex/edge/face enumeration, fem/mesh.py:curve_mesh)
                 assert mesh.geom_points.shape == self.node_coords.shape
                 self.node_coords = mesh.geom_points
+            if renumber:
+                self._renumber_nodes()
         else:
             raise NotImplementedError(f"degree {degree}")
 
@@ -74,6 +83,42 @@ class FunctionSpace:
         )
         self.dofmap = dm.reshape(mesh.num_cells, nloc * self.ncomp).astype(np.int32)
         self.nloc = nloc
+
+    def _renumber_nodes(self):
+        """Renumber the P2 node set by interleaving edge/face/center nodes
+        among the vertices they sit between. The canonical layout above
+        appends them AFTER all vertices, so every element's dofs straddle
+        distant id bands — which defeats the banded lane-gather engine's
+        per-chunk windows (ops/banded_gather.py) and with it the unstructured
+        fused-step fast path for P2 simplex meshes (the reference protocol's
+        discretization). Sorting every node by the MEAN VERTEX ID it
+        interpolates inherits whatever bandedness the vertex numbering
+        already has (lattice order on built-in meshes, RCM/snake via
+        fem/reorder.py on gmsh meshes) without introducing a new axis
+        convention; kept only if it beats the canonical order on p99 element
+        node span."""
+        from .reorder import _elem_span_p99
+
+        mesh = self.mesh
+        cn = self.cell_nodes
+        nn = len(self.node_coords)
+        nv = mesh.num_vertices
+        keys = [np.arange(nv, dtype=np.float64),
+                self._edge_verts.mean(axis=1)]
+        if mesh.cell_type == "quad":
+            keys.append(mesh.cells.mean(axis=1))
+        elif mesh.cell_type == "hexahedron":
+            keys.append(self._face_verts.mean(axis=1))
+            keys.append(mesh.cells.mean(axis=1))
+        key = np.concatenate(keys)
+        assert len(key) == nn
+        perm = np.argsort(key, kind="stable")  # old ids in new order
+        inv = np.empty(nn, np.int64)
+        inv[perm] = np.arange(nn)
+        if _elem_span_p99(inv[cn]) < _elem_span_p99(cn):
+            self.node_coords = self.node_coords[perm]
+            self.cell_nodes = inv[cn].astype(np.int32)
+            self.node_renum = inv.astype(np.int32)
 
     def dof_coords(self):
         """Coordinates of every dof (repeated per component), (ndofs, dim)."""

@@ -346,6 +346,61 @@ def test_specialized_step_two_level_unstructured():
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
 
 
+def test_specialized_step_p2_tet_banded():
+    """P2 TETRAHEDRA through the specialized fused step: the spatial node
+    renumbering (fem/space.py:_renumber_nodes) must let the banded cell+asm
+    plans build on the degree-2 dofmap (canonical vertex/edge bands defeat
+    the windows otherwise), and the banded gathers + coordinate-box
+    two-level PC must reproduce the host LU solve. This is the CI guard on
+    the reference-protocol discretization (P2 tets) the Ogden tet benchmark
+    runs on TPU."""
+    from dolfinx_materials_tpu.fem import create_unit_cube
+    from dolfinx_materials_tpu.fem.forms import mandel_strain_3d
+    from dolfinx_materials_tpu.parallel import make_sharded_newton_step
+
+    cmesh = device_mesh(8)
+    mesh = create_unit_cube(4, 4, 4, "tetrahedron")
+    V = FunctionSpace(mesh, 2, (3,))
+    exx = 1e-3
+
+    def build():
+        m = Material(LinearElasticIsotropic(E, nu))
+        q = QuadratureMap(V, 4, m)
+        q.register_gradient("Strain", mandel_strain_3d())
+        # 3D uniaxial: symmetry planes pin ALL rigid modes (mech_bcs is 2D
+        # and would leave z-translation free -> singular K)
+        bcs = mech_bcs(V, exx) + [
+            DirichletBC(
+                locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 0), 2),
+                0.0,
+            )
+        ]
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    assert V.node_renum is not None, "P2 renumbering must engage here"
+    b = q2.domain._banded
+    assert b is not None and b["cell"] is not None and b["asm"] is not None, (
+        "banded cell+asm plans must build on the renumbered P2 tet dofmap"
+    )
+    step, _ = make_sharded_newton_step(
+        q2, prob2, cmesh, n_newton=4, n_cg=200, pc="two_level"
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs), m2.data_manager.s0.internal, mask, vals, 0.0
+    )
+    assert float(rn) < 1e-7 * E
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
+
+
 def test_general_step_transient_phase_change():
     """TRANSIENT theta-scheme through the general fused step: the Enthalpy
     ISV appears in the residual (field = internal state variable), the
