@@ -101,6 +101,7 @@ def make_sharded_newton_step(
     pc_boxes=8,
     use_stencil=True,
     use_banded=True,
+    cg_rtol=1e-8,
 ):
     """Build a fully-fused, sharded Newton load step for a single-material
     mechanics problem (one registered gradient, default flux.dgrad residual).
@@ -113,7 +114,13 @@ def make_sharded_newton_step(
     ``lax.while_loop`` — it stops as soon as |R| <= rtol*|R0| + atol instead of
     burning (and possibly destabilizing on) fixed leftover iterations; each
     iteration backtracks on the flux-only residual. Handles the sharp-Voce
-    flagship material (tests/test_sharding.py).
+    flagship material (tests/test_sharding.py). The inner CG early-exits the
+    same way: ``n_cg`` is a budget, and iterations stop once the
+    preconditioned residual drops ``cg_rtol`` relative to its entering value
+    — late Newton iterations (whose entering u is already close) then cost a
+    handful of matvecs instead of the full budget. The default 1e-8 is at
+    the f32 floor, i.e. pure savings with no accuracy change; raise it
+    (1e-3..1e-2) for inexact-Newton configurations.
 
     Multi-host readiness: ``axis`` may be a TUPLE of mesh axes (e.g.
     ``("dcn", "ici")`` from ``device_mesh((n_hosts, n_chips), ...)``) — cells
@@ -652,8 +659,8 @@ def make_sharded_newton_step(
             z0 = r0 / diag + coarse_correct(r0)
             p0 = z0
 
-            def cg_body(k, cg):
-                x, r, z, p, rz = cg
+            def cg_body(cg):
+                x, r, z, p, rz, k = cg
                 Ap = Av(p)
                 denom = vdot(p, Ap)
                 alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
@@ -663,10 +670,22 @@ def make_sharded_newton_step(
                 rz_new = vdot(r, z)
                 beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
                 p = z + beta * p
-                return (x, r, z, p, rz_new)
+                return (x, r, z, p, rz_new, k + 1)
 
-            du, *_ = jax.lax.fori_loop(
-                0, n_cg, cg_body, (x0, r0, z0, p0, vdot(r0, z0))
+            # early-exiting CG: n_cg is a BUDGET, not a fixed trip count —
+            # iterations stop once the preconditioned residual norm-squared
+            # drops below (cg_rtol^2)*initial (late Newton iterations whose
+            # entering direction is already good then cost a handful of
+            # matvecs instead of the full budget)
+            rz0 = vdot(r0, z0)
+            cg_tol2 = (cg_rtol * cg_rtol) * jnp.abs(rz0)
+
+            def cg_cond(cg):
+                *_, rz, k = cg
+                return jnp.logical_and(k < n_cg, jnp.abs(rz) > cg_tol2)
+
+            du, *_ = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, r0, z0, p0, rz0, 0)
             )
 
             # backtracking line search (Armijo on |R|) — while_loop
@@ -766,6 +785,7 @@ def make_sharded_newton_step_general(
     rtol=None,
     atol=0.0,
     shard_dofs=False,
+    cg_rtol=1e-8,
 ):
     """Fully-fused sharded Newton step for GENERAL problems (VERDICT r2 item 3).
 
@@ -1240,8 +1260,8 @@ def make_sharded_newton_step_general(
             z0 = r0 / diag
             p0 = z0
 
-            def cg_body(k, cg):
-                x, r, z, p, rz = cg
+            def cg_body(cg):
+                x, r, z, p, rz, k = cg
                 Ap = Av(p)
                 den = vdot(p, Ap)
                 alpha = jnp.where(jnp.abs(den) > 1e-30, rz / den, 0.0)
@@ -1250,10 +1270,20 @@ def make_sharded_newton_step_general(
                 z = r / diag
                 rz_new = vdot(r, z)
                 beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
-                return (x, r, z, p * beta + z, rz_new)
+                return (x, r, z, p * beta + z, rz_new, k + 1)
 
-            du, *_ = jax.lax.fori_loop(
-                0, n_cg, cg_body, (x0, r0, z0, p0, vdot(r0, z0))
+            # n_cg is a budget: exit as soon as the preconditioned residual
+            # drops below cg_rtol^2 x initial (same early-exit CG as the
+            # specialized step)
+            rz0 = vdot(r0, z0)
+            cg_tol2 = (cg_rtol * cg_rtol) * jnp.abs(rz0)
+
+            def cg_cond(cg):
+                *_, rz, k = cg
+                return jnp.logical_and(k < n_cg, jnp.abs(rz) > cg_tol2)
+
+            du, *_ = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, r0, z0, p0, rz0, 0)
             )
 
             def ls_cond(c):
