@@ -101,18 +101,32 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1,
     )
     mask, _ = combine_bcs(bcs, V.num_dofs)
     mask = jnp.asarray(mask)
-    st0 = pad_state(mat.data_manager.s0.internal)
+    # the scan carry must be shape-stable: seed with the TRIMMED (real-point)
+    # state — step() pads internally and returns trimmed
+    st0 = jax.tree.map(jnp.asarray, mat.data_manager.s0.internal)
     bc_vals = []
     for ez in np.linspace(0, 0.2, 11)[1:]:
         bc_top.set(-float(ez))
         _, vals = combine_bcs(bcs, V.num_dofs)
         bc_vals.append(jnp.asarray(vals))
+    vals_stack = jnp.stack(bc_vals)
+
+    # ALL 10 load steps in ONE dispatch: a lax.scan over the bc-value
+    # schedule (the step body compiles once). Through the axon tunnel each
+    # dispatch costs ~50 ms (docs/perf.md "Measurement pitfalls"), so the
+    # Python-loop version pays ~0.5 s of pure dispatch on a ~2 s solve.
+    @jax.jit
+    def run_scan(u0, s0):
+        def body(carry, vals):
+            u, st = carry
+            u, st, rn = step(u, st, mask, vals, 0.0)
+            return (u, st), rn
+
+        (u, _), rns = jax.lax.scan(body, (u0, s0), vals_stack)
+        return u, rns
 
     def run_all():
-        u, st, rns = jnp.zeros(V.num_dofs), st0, []
-        for vals in bc_vals:
-            u, st, rn = step(u, st, mask, vals, 0.0)
-            rns.append(rn)
+        u, rns = run_scan(jnp.zeros(V.num_dofs), st0)
         jax.block_until_ready(u)
         return u, [float(r) for r in rns]
 
