@@ -401,6 +401,61 @@ def test_specialized_step_p2_tet_banded():
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
 
 
+def test_general_step_banded_unstructured():
+    """The GENERAL fused step now routes per-qmap gathers/assembly through
+    the banded lane-gather engine when the domain's plans built (previously
+    scalar dofmap gathers/scatters — the specialized step's fast engines
+    never reached the general builder). Same Delaunay mesh as the
+    specialized banded test; parity vs host LU."""
+    from scipy.spatial import Delaunay
+
+    from dolfinx_materials_tpu.fem.mesh import Mesh
+
+    cmesh = device_mesh(8)
+    rng = np.random.default_rng(1)
+    g = 28
+    xx, yy = np.meshgrid(np.arange(g + 1), np.arange(g + 1))
+    pts = np.stack([xx, yy], -1).reshape(-1, 2) / g
+    pts += np.where(
+        ((pts > 0) & (pts < 1)), rng.uniform(-0.2 / g, 0.2 / g, pts.shape), 0.0
+    )
+    mesh = reorder_mesh(Mesh(pts, Delaunay(pts).simplices.astype(np.int32), "triangle"))
+    V = FunctionSpace(mesh, 1, (2,))
+    exx = 2 * sig0 / E
+
+    def build():
+        m = Material(
+            vonMisesIsotropicHardening(
+                LinearElasticIsotropic(E, nu), VoceHardening(sig0, 500.0, 1e3)
+            )
+        )
+        q = QuadratureMap(V, 2, m)
+        q.register_gradient("Strain", mandel_strain_2d())
+        bcs = mech_bcs(V, exx)
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    assert q2.domain._banded is not None, "banded plans must build here"
+    step, _ = make_sharded_newton_step_general(prob2, cmesh, n_newton=14, n_cg=400)
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    u_sh, states, rn = step(
+        jnp.zeros(V.num_dofs), [m2.data_manager.s0.internal], mask, vals, 0.0
+    )
+    assert float(rn) < 1e-8 * E
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
+    p_sh = np.asarray(states[0]["p"]).ravel()
+    p_ref = np.asarray(m1.data_manager.s1["p"]).ravel()
+    np.testing.assert_allclose(p_sh, p_ref, rtol=1e-5, atol=1e-11)
+    assert p_ref.max() > 1e-4
+
+
 def test_general_step_transient_phase_change():
     """TRANSIENT theta-scheme through the general fused step: the Enthalpy
     ISV appears in the residual (field = internal state variable), the
