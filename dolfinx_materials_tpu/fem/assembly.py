@@ -434,7 +434,14 @@ class QuadratureDomain:
                 for i in range(nd)
             ]
             return self._scatter_rows(yr, v.dtype)
-        v_e = v[self.dofmap]  # (ne, ndof_el)
+        # raw-K fallback (also the banded path when the feature-major plan is
+        # absent but cell+asm built — P2 simplex meshes): the gather and the
+        # scatter_dofs assembly each route through the banded engine when
+        # active, so no scalar gather/scatter appears here either
+        if self.banded_active:
+            v_e = self._banded_take("cell", v).reshape(self.ne, nd)
+        else:
+            v_e = v[self.dofmap]  # (ne, ndof_el)
         y_e = jnp.einsum("eij,ej->ei", K_e, v_e)
         return self.scatter_dofs(y_e).astype(v.dtype)
 
