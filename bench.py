@@ -411,8 +411,12 @@ def main():
         # coordinate-box two-level coarse correction (no structured stencil
         # anywhere). Closes the "P1 hex vs P2 tet" honest-delta of the row
         # above; remaining deltas: single material, f32.
+        # n_cg=150 (demo default): on the K/mu=2500 tangent the Newton rate
+        # is limited by CG direction quality (measured: two_level beats
+        # jacobi 7.4x at equal budget on this mesh), and early-exit CG makes
+        # unused budget free
         _, _t_tet, _rns_tet = _ogmod.run_10_steps(
-            8, n_newton=20, n_cg=100, n_devices=1,
+            8, n_newton=20, n_cg=150, n_devices=1,
             cell_type="tetrahedron", degree=2,
         )
         extras["ogden3d_tet_p2_solve_10steps_s"] = float(_t_tet)
