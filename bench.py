@@ -26,6 +26,34 @@ BASELINE_GP_PER_S = 1e8
 
 def main():
     import os
+    import subprocess
+    import sys
+
+    # The axon TPU tunnel can hang INDEFINITELY at backend init (observed
+    # 2026-08-17: jax.devices() blocked for 8+ hours). Probe it in a
+    # disposable subprocess first so a dead tunnel produces a bounded,
+    # parseable failure line instead of a silent driver timeout that loses
+    # every metric.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, check=True, capture_output=True,
+        )
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "j2_return_map_gauss_point_updates_per_s",
+                    "value": 0.0,
+                    "unit": "GP/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_backend_unreachable_at_bench_time "
+                    f"({type(e).__name__})",
+                }
+            )
+        )
+        return
+
     import jax
 
     # persistent compile cache: the driver's end-of-round run (a fresh
