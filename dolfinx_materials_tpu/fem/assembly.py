@@ -110,10 +110,14 @@ class QuadratureDomain:
         dm = np.asarray(self.dofmap)
         ndofs = self.space.num_dofs
 
-        def plan_ok(p, table_bytes):
+        def plan_ok(p):
             if p is None or p.frac_patched >= 0.02:
                 return False
-            if table_bytes <= bg.VMEM_TABLE_BYTES:
+            # kernel selection (_best_take) compares the PADDED f32 table
+            # (plan.nrows rows of 128 lanes) against the VMEM budget — gate
+            # with the same quantity so an accepted plan runs the kernel its
+            # branch reasoned about
+            if p.nrows * bg.LANE * 4 <= bg.VMEM_TABLE_BYTES:
                 # VMEM-resident kernel: per-chunk cost is the OCCUPIED
                 # sub-block count (plan.nq), not the global p99 window R — a
                 # fat tail in a few chunks is fine as long as the average
@@ -124,36 +128,35 @@ class QuadratureDomain:
                 )
             return p.R <= 64  # streaming kernel pays R/sub steps per chunk
 
-        def best_plan(fn, table_bytes, chunks=(2048, 1024, 512, 256)):
+        def best_plan(fn, chunks=(2048, 1024, 512, 256)):
             """Smaller chunks shrink per-chunk windows (key on small meshes
             — the reference's ~3k-cell benchmark meshes — where 2048 outputs
             cover most of the mesh); plans are cheap host-side numpy, so just
             try a few sizes and keep the first that passes the gate."""
             for ch in chunks:
                 p = fn(chunk=ch)
-                if plan_ok(p, table_bytes):
+                if plan_ok(p):
                     return p
             return None
 
-        dof_bytes = ndofs * 4
         plans = {
             "cell": best_plan(
                 lambda chunk: bg.plan_banded_take(
                     dm.ravel(), ndofs, chunk=chunk, max_R=256
                 ),
-                dof_bytes,
             ),
             "fm": best_plan(
                 lambda chunk: bg.plan_banded_take(
                     dm.T.ravel(), ndofs, chunk=chunk, max_R=256
                 ),
-                dof_bytes,
             ),
+            # max_R=256 here too: the gate's VMEM branch admits R <= 256,
+            # and the planner's default 64 would clip wider assembly windows
+            # into mass-patching -> silent rejection of the whole engine
             "asm": best_plan(
                 lambda chunk: bg.plan_slotwise_assembly(
-                    dm, ndofs, chunk=chunk
+                    dm, ndofs, chunk=chunk, max_R=256
                 ),
-                self.ne * self.ndof_el * 4,
                 chunks=(1024, 512, 256),
             ),
         }

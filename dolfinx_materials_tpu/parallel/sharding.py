@@ -215,6 +215,10 @@ def make_sharded_newton_step(
     # per-node components the scalar diagonal ignores — markedly better CG
     # rates on elasticity, especially near-incompressible tangents);
     # smoother="jacobi" opts back into the scalar diagonal
+    if smoother not in (None, "jacobi", "block"):
+        raise ValueError(
+            f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
+        )
     use_block_smoother = (
         smoother or ("block" if ncomp > 1 else "jacobi")
     ) == "block" and ncomp > 1
@@ -907,6 +911,10 @@ def make_sharded_newton_step_general(
     # pad so a node's dof block never straddles a shard boundary (block
     # smoother) — see the specialized builder
     nd_p = ndofs + ((-ndofs) % (ndev * ncomp_sp)) if shard_dofs else ndofs
+    if smoother not in (None, "jacobi", "block"):
+        raise ValueError(
+            f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
+        )
     use_block_smoother = (
         smoother or ("block" if ncomp_sp > 1 else "jacobi")
     ) == "block" and ncomp_sp > 1
