@@ -9,9 +9,11 @@ Design (TPU-first, replacing reference MPI patterns):
 - **Newton load step**: cells (and their state) sharded, dof vectors replicated.
   Per device: gather local element dofs -> evaluate gradients -> batched material
   update -> element residuals/matrices -> local scatter-add -> ``psum`` over the
-  mesh axis. The linear solve is a fixed-iteration Jacobi-preconditioned CG whose
-  matvec does one psum per application. Everything is ``lax`` control flow with
-  static shapes: ONE jittable function = one XLA program per load step.
+  mesh axis. The linear solve is an early-exiting budgeted CG preconditioned by
+  a node-block Jacobi smoother (vector problems) plus a frozen two-level coarse
+  correction; its matvec does one psum per application. Everything is ``lax``
+  control flow with static shapes: ONE jittable function = one XLA program per
+  load step.
 """
 
 from __future__ import annotations
