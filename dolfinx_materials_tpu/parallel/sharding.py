@@ -88,6 +88,30 @@ def make_sharded_constitutive_update(material, mesh: Mesh, axis="cells"):
     return jax.jit(_update)
 
 
+def _sym_block_inv(Bm, eye):
+    """SPD-preserving inverse of the (n, ncomp, ncomp) node blocks of the
+    Jacobi smoother.
+
+    A plain f32 ``jnp.linalg.inv`` of near-incompressible tangent blocks
+    (K/mu ~ 2500, e.g. the Ogden K=1e9 protocol) returns inverses whose
+    asymmetry/indefiniteness breaks CG's M-SPD requirement — measured on the
+    P2-tet bench protocol the fused step DIVERGED from load step 3 (|R| ->
+    1e19) while scalar Jacobi converged. Two standard stabilizations fix it:
+
+    - Jacobi pre-scaling: invert ``D^-1/2 B D^-1/2`` (condition bounded by
+      the block's internal coupling, not its absolute scale), then unscale;
+    - explicit symmetrization of both the scaled block and the result (the
+      exact block is symmetric; assembly round-off is not).
+    """
+    d = jnp.abs(jnp.einsum("naa->na", Bm))
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
+    Bs = Bm * s[:, :, None] * s[:, None, :]
+    Bs = 0.5 * (Bs + jnp.swapaxes(Bs, 1, 2))
+    Binv = jnp.linalg.inv(Bs)
+    Binv = 0.5 * (Binv + jnp.swapaxes(Binv, 1, 2))
+    return Binv * s[:, :, None] * s[:, None, :]
+
+
 def _coord_agg_cdofs(space, pc_boxes, budget=2048):
     """Coordinate-box node aggregates over a space (the host solver's
     ``_node_aggregates`` scheme, solvers.py): returns ``(ncoarse,
@@ -213,16 +237,18 @@ def make_sharded_newton_step(
     # BLOCK never straddles a shard boundary (the node-block smoother
     # applies (ncomp, ncomp) inverses per node on the local slice)
     nd_p = ndofs + ((-ndofs) % (ndev * ncomp)) if shard_dofs else ndofs
-    # smoother: node-block Jacobi by default on vector problems (couples the
-    # per-node components the scalar diagonal ignores — markedly better CG
-    # rates on elasticity, especially near-incompressible tangents);
-    # smoother="jacobi" opts back into the scalar diagonal
+    # smoother: node-block Jacobi by default on 3D VECTOR problems only —
+    # it couples the per-node components the scalar diagonal ignores and
+    # measurably improves CG rates on near-incompressible 3D tangents, but
+    # on 2D compressible plates it matches Jacobi's quality at +33% step
+    # cost (measured on the benched 64x64 J2 plate: 52.6 -> 69.7 ms for an
+    # identical residual). smoother="block"/"jacobi" overrides either way.
     if smoother not in (None, "jacobi", "block"):
         raise ValueError(
             f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
         )
     use_block_smoother = (
-        smoother or ("block" if ncomp > 1 else "jacobi")
+        smoother or ("block" if ncomp >= 3 else "jacobi")
     ) == "block" and ncomp > 1
 
     # --- stencil fast path (structured P1 grids) -------------------------
@@ -692,7 +718,7 @@ def make_sharded_newton_step(
                 Bm = Bm + eye * jnp.where(
                     tr < 1e-30, 1.0, 1e-14 * tr
                 )[:, None, None]
-                Binv = jnp.linalg.inv(Bm)
+                Binv = _sym_block_inv(Bm, eye)
 
                 def smooth(r):
                     return jnp.einsum(
@@ -917,8 +943,10 @@ def make_sharded_newton_step_general(
         raise ValueError(
             f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
         )
+    # default: block only on 3D vector spaces (see the specialized step's
+    # measured 2D cost/benefit note)
     use_block_smoother = (
-        smoother or ("block" if ncomp_sp > 1 else "jacobi")
+        smoother or ("block" if ncomp_sp >= 3 else "jacobi")
     ) == "block" and ncomp_sp > 1
     two_level = pc == "two_level"
     if two_level:
@@ -1508,7 +1536,7 @@ def make_sharded_newton_step_general(
                 Bm = Bm + eye * jnp.where(
                     tr < 1e-30, 1.0, 1e-14 * tr
                 )[:, None, None]
-                Binv = jnp.linalg.inv(Bm)
+                Binv = _sym_block_inv(Bm, eye)
 
                 def smooth(r):
                     return jnp.einsum(
@@ -1680,6 +1708,10 @@ def make_sharded_blocked_step(
     n_backtracks=10,
     rtol=None,
     atol=0.0,
+    pc="two_level",
+    pc_boxes=8,
+    smoother=None,
+    cg_rtol=1e-8,
 ):
     """Fused sharded Newton step for MONOLITHIC BLOCKED multi-field problems.
 
@@ -1700,9 +1732,21 @@ def make_sharded_blocked_step(
       inside the block CG matvec;
     - interface terms shard over FACETS: per-shard residual/stiffness
       contributions are partial-assembled and psum'd with everything else;
-    - the linear solve is block-Jacobi-preconditioned CG on the monolithic
-      operator, with concatenated Dirichlet masking; line search backtracks on
-      the flux-only blocked residual.
+    - the linear solve is preconditioned BiCGStab on the monolithic operator,
+      with concatenated Dirichlet masking; line search backtracks on the
+      flux-only blocked residual.
+
+    Preconditioning matches the single-field fused steps (closes the round-3
+    roadmap's last fused-step gap): ``pc="two_level"`` (default) adds a
+    FROZEN additive coarse correction built from per-FIELD coordinate-box
+    node aggregates — the monolithic coarse operator ``P^T K P`` accumulates
+    every field's diagonal blocks, the cross-field coupling blocks at their
+    (row-field, col-field) coarse offsets, AND the interface stiffness
+    blocks, then is dense-inverted once per load step. The smoother is
+    per-field node-block Jacobi on vector fields (scalar diagonal on scalar
+    fields); ``smoother="jacobi"`` opts every field back to the scalar
+    diagonal. ``n_cg`` is a budget: BiCGStab exits once the residual drops
+    ``cg_rtol`` relative to ``|b|``.
 
     Returns ``(step, pad_states)`` with
     ``step(z, states, bc_mask, bc_vals, dt=0.0) -> (z_new, states, |R|)``
@@ -1722,6 +1766,44 @@ def make_sharded_blocked_step(
     nfields = len(blocked.problems)
     if rtol is None:
         rtol = 1e-10 if float(jnp.finfo(jnp.zeros(0).dtype).eps) < 1e-9 else 1e-6
+
+    field_ncomp = [int(p.u.space.ncomp) for p in blocked.problems]
+    if smoother not in (None, "jacobi", "block"):
+        raise ValueError(
+            f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
+        )
+    # node-block Jacobi by default only when a 3D vector field is present
+    # (see the specialized step's measured 2D cost/benefit note); scalar
+    # fields always take the plain diagonal (their 1x1 "block" IS it)
+    default_sm = "block" if any(nc >= 3 for nc in field_ncomp) else "jacobi"
+    use_block_smoother = (smoother or default_sm) == "block" and any(
+        nc > 1 for nc in field_ncomp
+    )
+
+    two_level = pc == "two_level"
+    if two_level:
+        # per-field coordinate-box aggregates, stacked at per-field coarse
+        # offsets so the monolithic coarse operator keeps the cross-field
+        # coupling structure (the whole point over field-wise corrections)
+        coarse_offsets = [0]
+        cdof_fields = []
+        budget = max(64, 2048 // nfields)
+        for p in blocked.problems:
+            nci, cd = _coord_agg_cdofs(p.u.space, pc_boxes, budget=budget)
+            cdof_fields.append(cd)
+            coarse_offsets.append(coarse_offsets[-1] + nci)
+        ncoarse = coarse_offsets[-1]
+        cdof_ids = jnp.asarray(
+            _np.concatenate(
+                [
+                    cd + off
+                    for cd, off in zip(cdof_fields, coarse_offsets[:-1])
+                ]
+            ).astype(_np.int32)
+        )
+    else:
+        ncoarse = 1
+        cdof_fields = None
 
     # ---- per-(field, qmap) static structure ------------------------------
     qinfos = []
@@ -1759,8 +1841,18 @@ def make_sharded_blocked_step(
                 cdN, _ = pad_to_multiple(_np.asarray(cd.dNdx), ndev)
                 cxq, _ = pad_to_multiple(_np.asarray(cd.x_q), ndev)
                 cdm, _ = pad_to_multiple(_np.asarray(cd.dofmap), ndev)
+                ccd = (
+                    cdof_fields[c["col"]][cdm] + coarse_offsets[c["col"]]
+                    if two_level
+                    else _np.zeros_like(cdm)
+                )
                 coup_tabs.append(
-                    (jnp.asarray(cdN), jnp.asarray(cxq), jnp.asarray(cdm))
+                    (
+                        jnp.asarray(cdN),
+                        jnp.asarray(cxq),
+                        jnp.asarray(cdm),
+                        jnp.asarray(ccd.astype(_np.int32)),
+                    )
                 )
 
             # differentiable-input layout
@@ -1841,6 +1933,17 @@ def make_sharded_blocked_step(
                     nloc=dom.nloc,
                     ncomp=dom.ncomp,
                     N_tab=dom.N,
+                    # coarse-dof table at this field's coarse offset (pads ->
+                    # field dof 0: zero K_e rows on padded cells, harmless)
+                    cdof=(
+                        jnp.asarray(
+                            (
+                                cdof_fields[fi][dofmap] + coarse_offsets[fi]
+                            ).astype(_np.int32)
+                        )
+                        if two_level
+                        else jnp.zeros(dofmap.shape, jnp.int32)
+                    ),
                     tables=(
                         jnp.asarray(dNdx),
                         jnp.asarray(wdetJ),
@@ -1874,6 +1977,11 @@ def make_sharded_blocked_step(
         N = jnp.asarray(d.N)
         dofs1, _ = pad_to_multiple(_np.asarray(d.dofs1), ndev)
         dofs2, _ = pad_to_multiple(_np.asarray(d.dofs2), ndev)
+        if two_level:
+            cd1 = cdof_fields[itf.i][dofs1] + coarse_offsets[itf.i]
+            cd2 = cdof_fields[itf.j][dofs2] + coarse_offsets[itf.j]
+        else:
+            cd1, cd2 = _np.zeros_like(dofs1), _np.zeros_like(dofs2)
         itf_infos.append(
             dict(
                 i=itf.i,
@@ -1887,6 +1995,8 @@ def make_sharded_blocked_step(
                     jnp.asarray(w),
                     jnp.asarray(dofs1.reshape(len(w), -1)),
                     jnp.asarray(dofs2.reshape(len(w), -1)),
+                    jnp.asarray(cd1.reshape(len(w), -1).astype(_np.int32)),
+                    jnp.asarray(cd2.reshape(len(w), -1).astype(_np.int32)),
                 ),
             )
         )
@@ -2044,7 +2154,7 @@ def make_sharded_blocked_step(
             """K_rc_e per coupling: (ne_l, nd_row, nd_col)."""
             out = []
             ne_l = u_e.shape[0]
-            for cs, (cdN_l, cxq_l, _), (col_ue,) in zip(
+            for cs, (cdN_l, cxq_l, _, _), (col_ue,) in zip(
                 qi["coup_struct"], qi["_coup_tabs_l"], coup_cols
             ):
                 C = Ct[:, cs["sl"]].reshape(ne_l, nq, cs["sy"], cs["sx"])
@@ -2104,26 +2214,29 @@ def make_sharded_blocked_step(
 
     P_ax, P_rep = P(axis), P()
     qtab_specs = tuple((P_ax,) * 4 for _ in qinfos)
+    qcdof_specs = tuple(P_ax for _ in qinfos)
     ctab_specs = tuple(
-        tuple((P_ax, P_ax, P_ax) for _ in qi["coup_tabs"]) for qi in qinfos
+        tuple((P_ax, P_ax, P_ax, P_ax) for _ in qi["coup_tabs"])
+        for qi in qinfos
     )
     state_specs = tuple(P_ax for _ in qinfos)
     esv_specs = tuple(
         jax.tree.map(lambda _: P_ax, qi["esv_consts"]) for qi in qinfos
     )
-    itab_specs = tuple((P_ax,) * 3 for _ in itf_infos)
+    itab_specs = tuple((P_ax,) * 5 for _ in itf_infos)
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P_rep, qtab_specs, ctab_specs, state_specs, esv_specs, itab_specs,
-            P_rep, P_rep, P_rep,
+            P_rep, qtab_specs, qcdof_specs, ctab_specs, state_specs,
+            esv_specs, itab_specs, P_rep, P_rep, P_rep,
         ),
         out_specs=(P_rep, tuple(P_ax for _ in qinfos), P_rep),
         check_vma=False,
     )
-    def _step(z, qtabs, ctabs, states, esv_c, itabs, bc_mask, bc_vals, dt):
+    def _step(z, qtabs, qcdofs, ctabs, states, esv_c, itabs, bc_mask,
+              bc_vals, dt):
         def norm(v):
             return jnp.sqrt(jnp.vdot(v, v))
 
@@ -2139,7 +2252,7 @@ def make_sharded_blocked_step(
         def eval_coup_vals(qi, tabs, parts):
             """Coupled-ESV values (npts_l, size) per coupling of this qmap."""
             out = []
-            for c, (cdN_l, cxq_l, cdm_l) in zip(qi["my_coups"], tabs):
+            for c, (cdN_l, cxq_l, cdm_l, _ccd) in zip(qi["my_coups"], tabs):
                 col_u = parts[c["col"]]
                 cue = col_u[cdm_l]
                 cnl, cnc = c["col_dom"].nloc, c["col_dom"].ncomp
@@ -2162,7 +2275,7 @@ def make_sharded_blocked_step(
             """Interface contributions as a full (ndofs,) partial vector."""
             R = jnp.zeros(ndofs, dtype)
             for ii, info in zip(blocked.interfaces, itf_infos):
-                w_l, d1_l, d2_l = info["_tabs_l"]
+                w_l, d1_l, d2_l = info["_tabs_l"][:3]
                 nlc = info["nloc_f"] * info["ncomp"]
                 u1 = parts[info["i"]][d1_l]  # (nf_l, nloc_f*nc)
                 u2 = parts[info["j"]][d2_l]
@@ -2188,7 +2301,7 @@ def make_sharded_blocked_step(
         def itf_matrices(parts):
             out = []
             for info in itf_infos:
-                w_l, d1_l, d2_l = info["_tabs_l"]
+                w_l, d1_l, d2_l = info["_tabs_l"][:3]
                 nc = info["ncomp"]
                 Nf = info["N"]
                 u1 = parts[info["i"]][d1_l]
@@ -2227,7 +2340,7 @@ def make_sharded_blocked_step(
                 )
                 coup_cols = [
                     (parts[c["col"]][cdm_l],)
-                    for c, (_, _, cdm_l) in zip(qi["my_coups"], ct)
+                    for c, (_, _, cdm_l, _) in zip(qi["my_coups"], ct)
                 ]
                 Krc = lk["coupling_matrices"](
                     u_e, dNdx_l, wdetJ_l, x_q_l, Ct, coup_cols
@@ -2262,8 +2375,71 @@ def make_sharded_blocked_step(
             R = jax.lax.psum(R_part, axis)
             return norm(jnp.where(bc_mask, 0.0, R))
 
+        def build_coarse(dK, cK, iK):
+            """Monolithic coarse operator P^T K P over the per-field
+            coordinate-box aggregates: diagonal blocks + cross-field coupling
+            blocks (at their row/col coarse offsets) + interface blocks,
+            Dirichlet rows/cols zeroed — dense inverse, frozen per step."""
+            dtype = z.dtype
+            w = 1.0 - bc_mask.astype(dtype)
+            Ac = jnp.zeros(ncoarse * ncoarse, dtype)
+            for qi, tabs, cd_l, ct, K_e, Krc in zip(
+                qinfos, qtabs, qcdofs, ctabs, dK, cK
+            ):
+                dofmap_l = tabs[3]
+                w_r = w[dofmap_l + offsets[qi["field"]]]
+                Kw = K_e * w_r[:, :, None] * w_r[:, None, :]
+                idx = (cd_l[:, :, None] * ncoarse + cd_l[:, None, :]).ravel()
+                Ac = Ac.at[idx].add(Kw.ravel())
+                for c, (_, _, cdm_l, ccd_l), K in zip(
+                    qi["my_coups"], ct, Krc
+                ):
+                    w_c = w[cdm_l + offsets[c["col"]]]
+                    Kc = K * w_r[:, :, None] * w_c[:, None, :]
+                    idx = (
+                        cd_l[:, :, None] * ncoarse + ccd_l[:, None, :]
+                    ).ravel()
+                    Ac = Ac.at[idx].add(Kc.ravel())
+            for info, base in zip(itf_infos, iK):
+                _, d1_l, d2_l, cd1_l, cd2_l = info["_tabs_l"]
+                w1 = w[d1_l + offsets[info["i"]]]
+                w2 = w[d2_l + offsets[info["j"]]]
+                for cda, cdb, wa, wb, sgn in (
+                    (cd1_l, cd1_l, w1, w1, 1.0),
+                    (cd2_l, cd2_l, w2, w2, 1.0),
+                    (cd1_l, cd2_l, w1, w2, -1.0),
+                    (cd2_l, cd1_l, w2, w1, -1.0),
+                ):
+                    Bw = sgn * base * wa[:, :, None] * wb[:, None, :]
+                    idx = (
+                        cda[:, :, None] * ncoarse + cdb[:, None, :]
+                    ).ravel()
+                    Ac = Ac.at[idx].add(Bw.ravel())
+            Ac = jax.lax.psum(Ac, axis).reshape(ncoarse, ncoarse)
+            dAc = jnp.diagonal(Ac)
+            ridge = 1e-8 * jnp.max(jnp.abs(dAc)) + 1e-30
+            Ac = Ac + (
+                ridge + jnp.where(jnp.abs(dAc) < ridge, 1.0, 0.0)
+            ) * jnp.eye(ncoarse, dtype=dtype)
+            return jnp.linalg.inv(Ac)
+
+        if two_level:
+            def make_coarse_correct(Ac_inv):
+                def coarse_correct(r):
+                    r0 = jnp.where(bc_mask, 0.0, r)
+                    rc = jax.ops.segment_sum(
+                        r0, cdof_ids, num_segments=ncoarse
+                    )
+                    wc = Ac_inv @ rc
+                    return jnp.where(bc_mask, 0.0, wc[cdof_ids])
+
+                return coarse_correct
+        else:
+            def make_coarse_correct(_):
+                return jnp.zeros_like
+
         def newton_update(z, R, diag_Ks, coup_Ks, itf_Ks, res_norm):
-            # block-Jacobi diagonal incl. interface diagonal blocks
+            # scalar diagonal incl. interface diagonal entries
             diag = jnp.zeros(ndofs, z.dtype)
             for qi, tabs, K_e in zip(qinfos, qtabs, diag_Ks):
                 dofmap_l = tabs[3]
@@ -2271,12 +2447,103 @@ def make_sharded_blocked_step(
                     dofmap_l.ravel() + offsets[qi["field"]]
                 ].add(jnp.diagonal(K_e, axis1=1, axis2=2).ravel())
             for info, base in zip(itf_infos, itf_Ks):
-                _, d1_l, d2_l = info["_tabs_l"]
+                _, d1_l, d2_l = info["_tabs_l"][:3]
                 db = jnp.diagonal(base, axis1=1, axis2=2)
                 diag = diag.at[(d1_l + offsets[info["i"]]).ravel()].add(db.ravel())
                 diag = diag.at[(d2_l + offsets[info["j"]]).ravel()].add(db.ravel())
             diag = jax.lax.psum(diag, axis)
             diag = jnp.where(bc_mask | (jnp.abs(diag) < 1e-30), 1.0, diag)
+
+            if use_block_smoother:
+                # per-field node-block Jacobi: a (ncomp, ncomp) block per
+                # node of each VECTOR field (scalar fields keep the plain
+                # diagonal) — same scheme as the general step's smoother,
+                # plus the interface node-diagonal blocks
+                binvs = {}
+                for fi in range(nfields):
+                    ncf = field_ncomp[fi]
+                    if ncf <= 1:
+                        continue
+                    cols = []
+                    for b in range(ncf):
+                        col = jnp.zeros(ndofs, z.dtype)
+                        for qi, tabs, K_e in zip(qinfos, qtabs, diag_Ks):
+                            if qi["field"] != fi:
+                                continue
+                            dofmap_l = tabs[3]
+                            jj = _np.arange(K_e.shape[1])
+                            node_col0 = jnp.asarray(
+                                ((jj // ncf) * ncf).astype(_np.int32)
+                            )
+                            col = col.at[
+                                dofmap_l.ravel() + offsets[fi]
+                            ].add(K_e[:, jj, node_col0 + b].ravel())
+                        for info, base in zip(itf_infos, itf_Ks):
+                            if info["ncomp"] != ncf:
+                                continue
+                            _, d1_l, d2_l = info["_tabs_l"][:3]
+                            nb = jnp.einsum(
+                                "fvavc->fvac",
+                                base.reshape(
+                                    base.shape[0],
+                                    info["nloc_f"],
+                                    ncf,
+                                    info["nloc_f"],
+                                    ncf,
+                                ),
+                            )[..., b]
+                            flat = nb.reshape(base.shape[0], -1).ravel()
+                            if info["i"] == fi:
+                                col = col.at[
+                                    (d1_l + offsets[fi]).ravel()
+                                ].add(flat)
+                            if info["j"] == fi:
+                                col = col.at[
+                                    (d2_l + offsets[fi]).ravel()
+                                ].add(flat)
+                        cols.append(col)
+                    seg = jax.lax.psum(jnp.stack(cols, -1), axis)[
+                        offsets[fi] : offsets[fi] + sizes[fi]
+                    ]
+                    Bm = seg.reshape(-1, ncf, ncf)
+                    mb = (
+                        bc_mask[offsets[fi] : offsets[fi] + sizes[fi]]
+                        .reshape(-1, ncf)
+                        .astype(z.dtype)
+                    )
+                    keep = 1.0 - mb
+                    Bm = Bm * keep[:, :, None] * keep[:, None, :]
+                    eye = jnp.eye(ncf, dtype=z.dtype)
+                    Bm = Bm + eye * mb[:, :, None]
+                    tr = jnp.einsum("naa->n", jnp.abs(Bm))
+                    Bm = Bm + eye * jnp.where(
+                        tr < 1e-30, 1.0, 1e-14 * tr
+                    )[:, None, None]
+                    binvs[fi] = _sym_block_inv(Bm, eye)
+
+                diag_parts = split(diag)
+
+                def smooth(r):
+                    parts_r = split(r)
+                    out = []
+                    for fi in range(nfields):
+                        if fi in binvs:
+                            out.append(
+                                jnp.einsum(
+                                    "nab,nb->na",
+                                    binvs[fi],
+                                    parts_r[fi].reshape(
+                                        -1, field_ncomp[fi]
+                                    ),
+                                ).reshape(-1)
+                            )
+                        else:
+                            out.append(parts_r[fi] / diag_parts[fi])
+                    return jnp.concatenate(out)
+
+            else:
+                def smooth(r):
+                    return r / diag
 
             def Av(v):
                 v0 = jnp.where(bc_mask, 0.0, v)
@@ -2291,14 +2558,14 @@ def make_sharded_blocked_step(
                         "eij,ej->ei", K_e, parts_v[qi["field"]][dofmap_l]
                     )
                     y = y.at[dofmap_l.ravel() + off].add(y_e.ravel())
-                    for c, (_, _, cdm_l), K in zip(
+                    for c, (_, _, cdm_l, _), K in zip(
                         qi["my_coups"], ct, Krc
                     ):
                         vc = parts_v[c["col"]][cdm_l]
                         yc = jnp.einsum("eij,ej->ei", K, vc)
                         y = y.at[dofmap_l.ravel() + off].add(yc.ravel())
                 for info, base in zip(itf_infos, itf_Ks):
-                    _, d1_l, d2_l = info["_tabs_l"]
+                    _, d1_l, d2_l = info["_tabs_l"][:3]
                     o_i, o_j = offsets[info["i"]], offsets[info["j"]]
                     v1 = parts_v[info["i"]][d1_l]
                     v2 = parts_v[info["j"]][d2_l]
@@ -2317,10 +2584,12 @@ def make_sharded_blocked_step(
             # BiCGStab, not CG: the blocked operator is NONSYMMETRIC (the
             # cross-field coupling blocks are not each other's transposes) —
             # same reason the host BlockedNonlinearProblem defaults to
-            # bicgstab (solvers.py)
+            # bicgstab (solvers.py). Preconditioner = per-field smoother +
+            # frozen two-level coarse correction; n_cg is a budget (cg_rtol
+            # early-exit inside jax's bicgstab residual check).
             du, _ = jax.scipy.sparse.linalg.bicgstab(
-                Av, b, x0=jnp.zeros_like(b), tol=1e-12, atol=0.0,
-                maxiter=n_cg, M=lambda v: v / diag,
+                Av, b, x0=jnp.zeros_like(b), tol=cg_rtol, atol=0.0,
+                maxiter=n_cg, M=lambda v: smooth(v) + coarse_correct(v),
             )
             du = jnp.where(jnp.isfinite(du), du, 0.0)
 
@@ -2348,6 +2617,11 @@ def make_sharded_blocked_step(
         R, dK, cK, iK, st_out = evaluate(z)
         res = norm(R)
         res0 = jnp.maximum(res, 1e-30)
+        # frozen coarse factor from the SAME entering tangents the first
+        # Newton update uses (late-bound name referenced by newton_update)
+        coarse_correct = make_coarse_correct(
+            build_coarse(dK, cK, iK) if two_level else None
+        )
 
         def newton_body(carry):
             z, R, dK, cK, iK, sts, res, it = carry
@@ -2370,6 +2644,7 @@ def make_sharded_blocked_step(
         z_new, new_states, rn = _step(
             z,
             tuple(qi["tables"] for qi in qinfos),
+            tuple(qi["cdof"] for qi in qinfos),
             tuple(qi["coup_tabs"] for qi in qinfos),
             tuple(states_p),
             tuple(qi["esv_consts"] for qi in qinfos),

@@ -117,3 +117,46 @@ def test_two_level_beats_jacobi_at_fixed_budget():
     r_jac = _fixed_budget_residual(problem, Kels, mask, rhs, "jacobi", 100)
     assert r_two < 1e-8, r_two
     assert r_two < 1e-4 * r_jac, (r_two, r_jac)
+
+
+def test_sym_block_inv_f32_near_incompressible():
+    """f32 node-block inverses on near-incompressible tangent blocks
+    (K/mu ~ 2500, the Ogden K=1e9 bench protocol) must stay symmetric and
+    positive definite — a plain f32 ``jnp.linalg.inv`` here returned
+    asymmetric/indefinite inverses that broke CG's M-SPD requirement and
+    DIVERGED the P2-tet fused step from load step 3 (measured on the v5e;
+    see parallel/sharding.py:_sym_block_inv)."""
+    from dolfinx_materials_tpu.parallel.sharding import _sym_block_inv
+
+    rng = np.random.default_rng(0)
+    K, mu = 1e9, 0.4e6
+    n = 512
+    # random SPD deviatoric parts + rank-1 volumetric K-coupling, like the
+    # assembled node blocks of a near-incompressible 3D tangent
+    A = rng.normal(size=(n, 3, 3))
+    dev = np.einsum("nab,ncb->nac", A, A) * mu
+    v = rng.normal(size=(n, 3))
+    vol = K * np.einsum("na,nb->nab", v, v)
+    Bm = jnp.asarray(dev + vol, jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    Binv = np.asarray(_sym_block_inv(Bm, eye), dtype=np.float64)
+    # symmetric to f32 round-off of the largest entry in each block (the
+    # plain f32 inv's asymmetry reached ~1e-3 relative at this conditioning)
+    asym = np.abs(Binv - np.swapaxes(Binv, 1, 2)).max(axis=(1, 2))
+    scale = np.abs(Binv).max(axis=(1, 2))
+    assert (asym <= 1e-6 * scale).all(), (asym / scale).max()
+    # positive definite: all eigenvalues > 0 (plain f32 inv fails this for
+    # a measurable fraction of blocks at this conditioning)
+    w = np.linalg.eigvalsh(0.5 * (Binv + np.swapaxes(Binv, 1, 2)))
+    assert w.min() > 0.0, w.min()
+    # and it approximates the inverse (a smoother needs an SPD approximate
+    # inverse, not an accurate one — the worst-conditioned random blocks
+    # here are nearly singular, far stiffer than assembled tangent blocks)
+    err = np.einsum("nab,nbc->nac", np.asarray(Bm, np.float64), Binv)
+    d = np.abs(np.einsum("naa->na", np.asarray(Bm, np.float64)))
+    s = 1.0 / np.sqrt(d)
+    resid = np.abs(
+        np.einsum("na,nab,nb->nab", 1 / s, err - np.eye(3), s)
+    ).max(axis=(1, 2))
+    assert np.quantile(resid, 0.9) < 1e-2, np.quantile(resid, 0.9)
