@@ -183,7 +183,19 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return n_pts * (K2 - K1) / (t(K2) - t(K1))
+        t1, t2 = t(K1), t(K2)
+        dt = t2 - t1
+        if dt <= 0.02 * t2:
+            # differential signal lost in tunnel dispatch noise (can even go
+            # NEGATIVE — observed on the ogden K1=1,K2=4 protocol): deepen the
+            # chain once so the kernel time dominates the jitter
+            K3 = 4 * K2 - 3 * K1  # 4x the differential span
+            t3 = t(K3)
+            if t3 - t1 > 0:
+                return n_pts * (K3 - K1) / (t3 - t1)
+            # still swamped: dispatch-inclusive lower bound, always positive
+            return n_pts * K2 / t2
+        return n_pts * (K2 - K1) / dt
 
     extras = {}
 

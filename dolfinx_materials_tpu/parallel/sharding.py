@@ -1812,17 +1812,10 @@ def make_sharded_blocked_step(
             qmap = t["qmap"]
             dom = qmap.domain
             material = qmap.material
-            if getattr(material.behavior, "material_properties", {}):
-                raise NotImplementedError(
-                    "make_sharded_blocked_step: spatially-varying material "
-                    "properties are not wired here yet — use the host "
-                    "BlockedNonlinearProblem (or the general step for "
-                    "single-field problems)"
-                )
             if material.rotation_matrix is not None:
-                raise NotImplementedError(
-                    "make_sharded_blocked_step: material-frame rotations are "
-                    "not wired here yet — use the host BlockedNonlinearProblem"
+                R = _np.asarray(material.rotation_matrix)
+                assert R.shape == (3, 3), (
+                    "fused blocked step supports constant (3,3) rotations"
                 )
             dNdx, ne_real = pad_to_multiple(_np.asarray(dom.dNdx), ndev)
             wdetJ, _ = pad_to_multiple(_np.asarray(dom.wdetJ), ndev)
@@ -1922,6 +1915,21 @@ def make_sharded_blocked_step(
                     [arr, jnp.broadcast_to(arr[-1:], (npts_pad - npts_real, size))]
                 )
 
+            # spatially-varying material properties, padded per point with the
+            # LAST real value (same rationale as the ESV padding above)
+            props_consts = {}
+            for name, size in getattr(
+                material.behavior, "material_properties", {}
+            ).items():
+                v = material.material_property_values.get(name)
+                if v is None:
+                    raise ValueError(f"material property '{name}' not set")
+                arr = material._to_batched(v, npts_real, size)
+                arr = jnp.concatenate(
+                    [arr, jnp.broadcast_to(arr[-1:], (npts_pad - npts_real, size))]
+                )
+                props_consts[name] = arr[:, 0] if size == 1 else arr
+
             qinfos.append(
                 dict(
                     field=fi,
@@ -1965,6 +1973,7 @@ def make_sharded_blocked_step(
                     tstruct=tstruct,
                     field_getters=field_getters,
                     esv_consts=esv_consts,
+                    props_consts=props_consts,
                     init_tpl=material.behavior.init_state(),
                 )
             )
@@ -2063,29 +2072,49 @@ def make_sharded_blocked_step(
                 elif kind == "coupled":
                     parts.append(coup_vals[cidx])
                 else:
-                    parts.append(qi["esv_consts"][name])
+                    parts.append(qi["_esv_l"][name])
             return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
-        def integrate_local(x, state_l, dt):
+        def apply_rot(x, slices, sizes, transpose, n):
+            if material.rotation_matrix is None:
+                return x
+            ops = material._rotation_ops(n, x.dtype)
+            return material._rotate_cols(x, slices, sizes, ops, transpose)
+
+        def integrate_local(x, state_l, props_l, dt):
             n = x.shape[0]
+            x = apply_rot(x, in_slices, material._input_sizes, False, n)
             if fast_update is not None:
                 flux, Ct, new_state = fast_update(x, state_l, dt)
                 Ct = Ct.reshape(n, -1)
             else:
                 flux, Ct, new_state = jax.vmap(
-                    lambda xi, si: point_update(xi, {}, si, dt)
-                )(x, state_l)
+                    lambda xi, pi, si: point_update(xi, pi, si, dt)
+                )(x, props_l, state_l)
+            if material.rotation_matrix is not None:
+                ops = material._rotation_ops(n, x.dtype)
+                flux = material._rotate_cols(
+                    flux, _mk_slices(material.fluxes), material.fluxes, ops, True
+                )
+                Ct = material._rotate_tangent(Ct, ops)
             return flux, Ct, new_state
 
-        def flux_local(x, state_l, dt):
+        def flux_local(x, state_l, props_l, dt):
+            n = x.shape[0]
+            x = apply_rot(x, in_slices, material._input_sizes, False, n)
             if fast_flux is not None:
                 flux, new_state = fast_flux(x, state_l, dt)
             elif fast_update is not None:
                 flux, _, new_state = fast_update(x, state_l, dt)
             else:
                 flux, new_state = jax.vmap(
-                    lambda xi, si: point_flux(xi, {}, si, dt)
-                )(x, state_l)
+                    lambda xi, pi, si: point_flux(xi, pi, si, dt)
+                )(x, props_l, state_l)
+            if material.rotation_matrix is not None:
+                ops = material._rotation_ops(n, x.dtype)
+                flux = material._rotate_cols(
+                    flux, _mk_slices(material.fluxes), material.fluxes, ops, True
+                )
             return flux, new_state
 
         def fields_from(flux, new_state, ne_l):
@@ -2223,6 +2252,9 @@ def make_sharded_blocked_step(
     esv_specs = tuple(
         jax.tree.map(lambda _: P_ax, qi["esv_consts"]) for qi in qinfos
     )
+    prop_specs = tuple(
+        jax.tree.map(lambda _: P_ax, qi["props_consts"]) for qi in qinfos
+    )
     itab_specs = tuple((P_ax,) * 5 for _ in itf_infos)
 
     @partial(
@@ -2230,12 +2262,12 @@ def make_sharded_blocked_step(
         mesh=mesh,
         in_specs=(
             P_rep, qtab_specs, qcdof_specs, ctab_specs, state_specs,
-            esv_specs, itab_specs, P_rep, P_rep, P_rep,
+            esv_specs, prop_specs, itab_specs, P_rep, P_rep, P_rep,
         ),
         out_specs=(P_rep, tuple(P_ax for _ in qinfos), P_rep),
         check_vma=False,
     )
-    def _step(z, qtabs, qcdofs, ctabs, states, esv_c, itabs, bc_mask,
+    def _step(z, qtabs, qcdofs, ctabs, states, esv_c, props_c, itabs, bc_mask,
               bc_vals, dt):
         def norm(v):
             return jnp.sqrt(jnp.vdot(v, v))
@@ -2245,9 +2277,13 @@ def make_sharded_blocked_step(
 
         z = jnp.where(bc_mask, bc_vals, z)
 
-        # stash sharded tables on qinfos for the kernels
-        for qi, ct in zip(qinfos, ctabs):
+        # stash sharded tables on qinfos for the kernels (the kernels must
+        # read the SHARD-LOCAL esv/props slices, not the replicated closure
+        # arrays — the differentiable-input batch is shard-local)
+        for qi, ct, e_l, p_l in zip(qinfos, ctabs, esv_c, props_c):
             qi["_coup_tabs_l"] = ct
+            qi["_esv_l"] = e_l
+            qi["_props_l"] = p_l
 
         def eval_coup_vals(qi, tabs, parts):
             """Coupled-ESV values (npts_l, size) per coupling of this qmap."""
@@ -2332,7 +2368,7 @@ def make_sharded_blocked_step(
                 u_e = u_i[dofmap_l]
                 coup_vals = eval_coup_vals(qi, ct, parts)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, coup_vals)
-                flux, Ct, st_new = lk["integrate"](x, st_l, dt)
+                flux, Ct, st_new = lk["integrate"](x, st_l, qi["_props_l"], dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e)
                 K_e = lk["diag_matrices"](
@@ -2365,7 +2401,7 @@ def make_sharded_blocked_step(
                 u_e = parts[qi["field"]][dofmap_l]
                 coup_vals = eval_coup_vals(qi, ct, parts)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, coup_vals)
-                flux, st_new = lk["flux"](x, st_l, dt)
+                flux, st_new = lk["flux"](x, st_l, qi["_props_l"], dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e)
                 R_part = R_part.at[
@@ -2648,6 +2684,7 @@ def make_sharded_blocked_step(
             tuple(qi["coup_tabs"] for qi in qinfos),
             tuple(states_p),
             tuple(qi["esv_consts"] for qi in qinfos),
+            tuple(qi["props_consts"] for qi in qinfos),
             tuple(info["tables"] for info in itf_infos),
             jnp.asarray(bc_mask),
             jnp.asarray(bc_vals, z.dtype),

@@ -800,3 +800,146 @@ def test_general_step_shard_dofs_two_materials_thermal():
     )
     assert float(rn) < 1e-8 * abs(T1v)
     np.testing.assert_allclose(np.asarray(u_sh), T1f.x, rtol=1e-8, atol=1e-8)
+
+
+def test_blocked_step_props_and_rotation():
+    """The fused BLOCKED step with SPATIALLY-VARYING material properties and
+    a constant material-frame ROTATION (the round-3 NotImplementedError gaps):
+    a thermo-mechanical blocked problem whose mechanics material carries a
+    per-quadrature-point Young modulus and a fiber-reinforcement axis rotated
+    0.25 rad off the global frame must match the host BlockedNonlinearProblem
+    LU solve (which routes rotations/props through Material.integrate — the
+    reference's MGIS rotation + mastered-property path, mfront.py:106-114,
+    336-343)."""
+    from dolfinx_materials_tpu.models.base import Behavior
+    from dolfinx_materials_tpu.models.thermal import ThermoMechanicalHeat
+    from dolfinx_materials_tpu.ops import tensors as tn
+    from dolfinx_materials_tpu.parallel import make_sharded_blocked_step
+    from dolfinx_materials_tpu.solvers import BlockedNonlinearProblem
+
+    cmesh = device_mesh(8)
+    T0v, alpha_th, chi = 293.15, 1e-3, 6e3
+
+    class VaryingFiberThermoElastic(Behavior):
+        """Isotropic thermo-elasticity + a fiber stiffening along the MATERIAL
+        x-axis, with a spatially-varying Young modulus material property. The
+        fiber term makes the frame rotation physically meaningful (an
+        isotropic law would mask a transpose bug in the rotation plumbing)."""
+
+        material_properties = {"YoungModulus": 1}
+
+        def __init__(self, nu, alpha_th, T0):
+            self.nu, self.alpha_th, self.T0v = nu, alpha_th, T0
+            self.gradients = {"Strain": 6}
+            self.fluxes = {"Stress": 6}
+            self.external_state_variables = {"Temperature": 1}
+            self.extra_tangent_blocks = [("Stress", "Temperature")]
+
+        def constitutive_update(self, inputs, state, dt):
+            Ev = inputs["YoungModulus"]
+            eps = inputs["Strain"]
+            T = inputs["Temperature"][0]
+            I2 = jnp.asarray(tn.I2, eps.dtype)
+            e = eps - self.alpha_th * (T - self.T0v) * I2
+            lmbda = Ev * self.nu / (1 + self.nu) / (1 - 2 * self.nu)
+            mu = Ev / 2 / (1 + self.nu)
+            sig = lmbda * tn.tr(e) * I2 + 2 * mu * e
+            # fiber reinforcement along the material x-axis
+            sig = sig.at[0].add(0.4 * Ev * e[0])
+            return {"Stress": sig}, state
+
+    angle = 0.25
+    c, s = np.cos(angle), np.sin(angle)
+    R = jnp.asarray([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+
+    def vol_strain():
+        def expr(ctx):
+            g = ctx.grad
+            return jnp.stack([g[0, 0] + g[1, 1]])
+
+        return expr
+
+    N = 6
+
+    def build():
+        mesh = create_rectangle((0, 0), (1.0, 1.0), (N, N), "quad")
+        VT = FunctionSpace(mesh, 1, ())
+        mat_T = Material(ThermoMechanicalHeat(k=1.0, kappa=1.0, chi=chi, T0=T0v))
+        qT = QuadratureMap(VT, 2, mat_T)
+        qT.register_gradient("TemperatureGradient", scalar_gradient())
+        qT.register_external_state_variable("Temperature", scalar_value())
+        leftT = locate_dofs_geometrical(VT, lambda x: np.isclose(x[:, 0], 0.0))
+        rightT = locate_dofs_geometrical(VT, lambda x: np.isclose(x[:, 0], 1.0))
+        T = Function(VT)
+        T.x[:] = T0v
+        heat = NonlinearMaterialProblem(
+            qT,
+            T,
+            bcs=[DirichletBC(leftT, T0v + 50.0), DirichletBC(rightT, T0v)],
+            residual_terms=[
+                [
+                    ("HeatFlux", scalar_gradient(), -1.0),
+                    ("Source", scalar_value(), 1.0),
+                ]
+            ],
+            options={"ksp_type": "lu"},
+        )
+
+        Vu = FunctionSpace(mesh, 1, (2,))
+        mat_u = Material(VaryingFiberThermoElastic(nu, alpha_th, T0v))
+        mat_u.rotation_matrix = R
+        qu = QuadratureMap(Vu, 2, mat_u)
+        qu.register_gradient("Strain", mandel_strain_2d())
+        qu.register_external_state_variable("Temperature", T0v)
+        # per-point modulus from the quadrature coordinates (identical in
+        # both builds): stiffer toward x = 1
+        x_q = np.asarray(qu.domain.x_q).reshape(-1, qu.domain.x_q.shape[-1])
+        Evar = E * (1.0 + 0.5 * x_q[:, 0])
+        mat_u.update_material_property("YoungModulus", Evar)
+        clamped = locate_dofs_geometrical(
+            Vu, lambda x: np.isclose(x[:, 0], 0.0) | np.isclose(x[:, 0], 1.0)
+        )
+        u = Function(Vu)
+        mech = NonlinearMaterialProblem(
+            qu, u, bcs=[DirichletBC(clamped, 0.0)], options={"ksp_type": "lu"}
+        )
+        coups = [
+            (1, 0, qu, "Stress", "Temperature", scalar_value()),
+            (0, 1, qT, "Source", "VolStrain", vol_strain()),
+        ]
+        return heat, mech, qT, qu, T, u, coups
+
+    # host reference
+    heat1, mech1, qT1, qu1, T1, u1, coups1 = build()
+    blocked1 = BlockedNonlinearProblem(
+        [heat1, mech1], coups1, options={"ksp_type": "lu"}
+    )
+    conv, _ = blocked1.solve()
+    assert conv
+    z_ref = np.concatenate([T1.x, u1.x])
+
+    # fused sharded blocked step
+    heat2, mech2, qT2, qu2, T2, u2, coups2 = build()
+    blocked2 = BlockedNonlinearProblem([heat2, mech2], coups2)
+    step, _ = make_sharded_blocked_step(blocked2, cmesh, n_newton=16, n_cg=400)
+    mask, vals = blocked2._masks()
+    z0 = np.concatenate([T2.x, u2.x])
+    z0[np.asarray(mask)] = np.asarray(vals)[np.asarray(mask)]
+    states0 = [q.material.data_manager.s0.internal for q in (qT2, qu2)]
+    z_sh, states, rn = step(jnp.asarray(z0), states0, mask, vals, 0.0)
+    assert float(rn) < 1e-7 * E
+    scale = float(np.abs(z_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(z_sh), z_ref, rtol=1e-6, atol=1e-8 * max(1.0, scale)
+    )
+    # the rotation actually matters: an UNROTATED copy of the same problem
+    # must give a different displacement field
+    heat3, mech3, qT3, qu3, T3, u3, coups3 = build()
+    qu3.material.rotation_matrix = None
+    blocked3 = BlockedNonlinearProblem(
+        [heat3, mech3], coups3, options={"ksp_type": "lu"}
+    )
+    conv, _ = blocked3.solve()
+    assert conv
+    z_norot = np.concatenate([T3.x, u3.x])
+    assert np.abs(z_norot - z_ref).max() > 1e-8 * scale
