@@ -999,9 +999,15 @@ def make_sharded_newton_step_general(
 
         if material.rotation_matrix is not None:
             R = _np.asarray(material.rotation_matrix)
-            assert R.shape == (3, 3), (
-                "fused general step supports constant (3,3) rotations"
-            )
+            if R.shape != (3, 3):
+                # a raise, not an assert: per-point (n,3,3) rotations are a
+                # supported HOST-path feature (material.py), so under
+                # ``python -O`` a stripped assert would let them through to an
+                # opaque einsum shape error inside shard_map
+                raise NotImplementedError(
+                    "fused general step supports constant (3,3) rotations; "
+                    f"got rotation_matrix of shape {R.shape}"
+                )
 
         qinfos.append(
             dict(
@@ -1080,6 +1086,17 @@ def make_sharded_newton_step_general(
         fast_flux = material._fast_flux
         has_esv = bool(esv_entries)
         has_props = bool(getattr(material.behavior, "material_properties", {}))
+        # integrate_local/flux_local drop props_l on the fast paths — safe
+        # ONLY because Material._build_batched disables the fast path when
+        # material_properties are declared (material.py). Guard that
+        # cross-file invariant here at kernel-build time so a future
+        # props-aware batched_update can't silently run without properties.
+        if has_props and (fast_update is not None or fast_flux is not None):
+            raise NotImplementedError(
+                "behavior declares material_properties but also a whole-batch "
+                "fast path; the fused step's fast path ignores properties "
+                "(Material._build_batched is expected to gate this)"
+            )
 
         def cell_eval(expr, ue, d, x):
             un = ue.reshape(nloc, ncomp)
@@ -1814,9 +1831,12 @@ def make_sharded_blocked_step(
             material = qmap.material
             if material.rotation_matrix is not None:
                 R = _np.asarray(material.rotation_matrix)
-                assert R.shape == (3, 3), (
-                    "fused blocked step supports constant (3,3) rotations"
-                )
+                if R.shape != (3, 3):
+                    # raise (not assert): see the general step's guard
+                    raise NotImplementedError(
+                        "fused blocked step supports constant (3,3) "
+                        f"rotations; got rotation_matrix of shape {R.shape}"
+                    )
             dNdx, ne_real = pad_to_multiple(_np.asarray(dom.dNdx), ndev)
             wdetJ, _ = pad_to_multiple(_np.asarray(dom.wdetJ), ndev)
             x_q, _ = pad_to_multiple(_np.asarray(dom.x_q), ndev)
@@ -2044,6 +2064,17 @@ def make_sharded_blocked_step(
         point_flux = material._point_flux
         fast_update = material._fast_update
         fast_flux = material._fast_flux
+        # same fast-path/props invariant guard as the general make_local
+        # (Material._build_batched gates the fast path off when properties
+        # are declared; enforce that here so the dropped props_l stays safe)
+        if getattr(material.behavior, "material_properties", {}) and (
+            fast_update is not None or fast_flux is not None
+        ):
+            raise NotImplementedError(
+                "behavior declares material_properties but also a whole-batch "
+                "fast path; the fused blocked step's fast path ignores "
+                "properties (Material._build_batched is expected to gate this)"
+            )
         exprs, tstruct = qi["exprs"], qi["tstruct"]
         field_getters = qi["field_getters"]
         scales = qi["scales"]
