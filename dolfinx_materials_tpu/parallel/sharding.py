@@ -136,6 +136,80 @@ def _coord_agg_cdofs(space, pc_boxes, budget=2048):
     return nagg * ncomp, cdof_of_dof
 
 
+def _coord_agg_modes(space, pc_boxes, budget=3072, modes="trans", labels=None):
+    """Coordinate-box NODE aggregates with per-aggregate coarse mode weights.
+
+    Generalizes :func:`_coord_agg_cdofs` to richer (and high-contrast-robust)
+    coarse spaces:
+
+    - ``modes="trans"``: ``ncomp`` piecewise-constant modes per aggregate —
+      the classic scheme, identical span to ``_coord_agg_cdofs``;
+    - ``modes="rbm"``: per-aggregate RIGID-BODY modes on vector spaces —
+      ``ncomp`` translations plus rotations (1 in 2D, 3 in 3D) about the
+      aggregate centroid. This is the standard elasticity near-nullspace the
+      reference's GAMG consumes from PETSc (SURVEY.md §2.2 PETSc row) and the
+      classical cure for quasi-rigid inclusions: a stiff body's rigid motion
+      is exactly representable per aggregate, so the two-level CG does not
+      grind against the penalty stiffness (the reference composite's
+      E_pen=1e12 SVK spheres, hyperelasticity.py:186).
+
+    ``labels``: optional ``(nnodes,)`` integer node labels; aggregates never
+    mix labels (e.g. matrix vs inclusion membership), so each inclusion gets
+    aggregates of its own and its rigid modes jump only across the physical
+    interface.
+
+    Returns ``(ncoarse, agg_of_node (nnodes,), W_node (nnodes, ncomp,
+    nmodes) float32)`` with ``ncoarse = nagg * nmodes <= ~budget``.
+    """
+    coords = np.asarray(space.node_coords, dtype=np.float64)
+    ncomp = space.ncomp
+    nnodes, dim = coords.shape
+    if modes == "rbm" and ncomp != dim:
+        raise ValueError(
+            f"rbm coarse modes need a {dim}-component space, got ncomp={ncomp}"
+        )
+    nrot = 0 if modes == "trans" else (1 if dim == 2 else 3)
+    nmodes = ncomp + nrot
+    lo = coords.min(axis=0)
+    span = np.maximum(coords.max(axis=0) - lo, 1e-30)
+    target = max(1, min(budget // nmodes, nnodes))
+    b = max(1, min(int(pc_boxes), int(np.floor(target ** (1.0 / dim)))))
+    qz = np.minimum((coords - lo) / span * b, b - 1).astype(np.int64)
+    keys = qz[:, 0]
+    for d in range(1, dim):
+        keys = keys * b + qz[:, d]
+    if labels is not None:
+        labels = np.asarray(labels, np.int64)
+        keys = keys * (labels.max() + 1) + labels
+    _, agg = np.unique(keys, return_inverse=True)
+    agg = agg.astype(np.int32)
+    nagg = int(agg.max()) + 1
+
+    W = np.zeros((nnodes, ncomp, nmodes), np.float64)
+    for c in range(ncomp):
+        W[:, c, c] = 1.0
+    if nrot:
+        # centroid-centered, span-normalized rotations (conditioning of Ac)
+        cnt = np.bincount(agg, minlength=nagg).astype(np.float64)
+        cen = np.stack(
+            [np.bincount(agg, coords[:, d], nagg) / cnt for d in range(dim)],
+            axis=1,
+        )
+        r = (coords - cen[agg]) / float(np.max(span))
+        if dim == 2:
+            W[:, 0, ncomp] = -r[:, 1]
+            W[:, 1, ncomp] = r[:, 0]
+        else:
+            # mode ncomp+a = rotation about axis a: w = e_a x r
+            W[:, 1, ncomp + 0] = -r[:, 2]
+            W[:, 2, ncomp + 0] = r[:, 1]
+            W[:, 0, ncomp + 1] = r[:, 2]
+            W[:, 2, ncomp + 1] = -r[:, 0]
+            W[:, 0, ncomp + 2] = -r[:, 1]
+            W[:, 1, ncomp + 2] = r[:, 0]
+    return nagg * nmodes, agg, W.astype(np.float32)
+
+
 def make_sharded_newton_step(
     qmap,
     problem,
@@ -883,6 +957,10 @@ def make_sharded_newton_step_general(
     pc="two_level",
     pc_boxes=8,
     smoother=None,
+    precision="same",
+    coarse_modes="trans",
+    agg_split_materials=False,
+    return_info=False,
 ):
     """Fully-fused sharded Newton step for GENERAL problems (VERDICT r2 item 3).
 
@@ -926,6 +1004,33 @@ def make_sharded_newton_step_general(
     entering tangents — and vector problems default to the node-BLOCK
     Jacobi smoother (``smoother="jacobi"`` opts out, ``pc="jacobi"`` drops
     the coarse correction).
+
+    High-contrast / high-accuracy extensions (VERDICT r3 items 1-2):
+
+    - ``coarse_modes="rbm"``: per-aggregate RIGID-BODY coarse modes
+      (translations + rotations, the GAMG near-nullspace) instead of
+      piecewise constants — the robust coarse space for near-incompressible
+      tangents and quasi-rigid inclusions (:func:`_coord_agg_modes`);
+    - ``agg_split_materials=True``: aggregates never mix nodes of different
+      qmap subsets, so each stiff inclusion gets its own rigid modes (nodes
+      on subset interfaces count as the LAST qmap touching them — list
+      inclusions after the matrix);
+    - ``precision="mixed"``: the accuracy-critical path (u, constitutive
+      update, residual assembly, line-search norms) runs in FLOAT64 while
+      the tangent matrices and the CG solve stay float32 with an explicit
+      SYMMETRIC DIAGONAL SCALING (all CG vectors O(1), so the f32
+      recurrences survive the composite benchmark's 1e12 stiffness
+      contrast). This is iterative-refinement-flavored inexact Newton: each
+      f32-solved correction is applied to the f64 iterate and the TRUE f64
+      residual re-measured, so the achievable per-step relative residual is
+      set by f64, not by the f32 assembly floor (~60 Pa/GP measured on the
+      Ogden protocol, docs/perf.md). Requires ``jax_enable_x64``. The f64
+      residual path uses dofmap gathers + f64 scatter-adds (the Pallas
+      banded engine is f32; CG matvecs still ride it).
+
+    With ``return_info=True`` the step returns ``(u, states, res_norm,
+    res0)`` — the entering residual norm alongside the final one, so callers
+    can record per-step RELATIVE residuals without an extra dispatch.
     """
     import numpy as _np
 
@@ -948,14 +1053,40 @@ def make_sharded_newton_step_general(
     use_block_smoother = (
         smoother or ("block" if ncomp_sp >= 3 else "jacobi")
     ) == "block" and ncomp_sp > 1
+    if precision not in ("same", "mixed"):
+        raise ValueError(f"precision must be 'same' or 'mixed', got {precision!r}")
+    mixed = precision == "mixed"
+    if mixed:
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "precision='mixed' needs jax_enable_x64 (the f64 residual path)"
+            )
+        f_hi, f_lo = jnp.float64, jnp.float32
+    nnodes = ndofs // ncomp_sp
     two_level = pc == "two_level"
     if two_level:
-        ncoarse, cdof_of_dof = _coord_agg_cdofs(space, pc_boxes)
-        cdof_ids = jnp.asarray(cdof_of_dof.astype(_np.int32))
+        labels = None
+        if agg_split_materials and len(problem._terms) > 1:
+            # node label = LAST qmap whose cells touch the node (list stiff
+            # inclusions after the matrix so interface nodes join them)
+            labels = _np.zeros(nnodes, _np.int64)
+            for i, t in enumerate(problem._terms):
+                nds = _np.unique(
+                    _np.asarray(t["qmap"].domain.dofmap) // ncomp_sp
+                )
+                labels[nds] = i
+        ncoarse, agg_of_node, W_node = _coord_agg_modes(
+            space, pc_boxes, modes=coarse_modes, labels=labels
+        )
+        nmodes = W_node.shape[2]
+        agg_ids_node = jnp.asarray(agg_of_node)
+        W_node_j = jnp.asarray(W_node)
     else:
         ncoarse = 1
     if rtol is None:
-        rtol = 1e-10 if float(jnp.finfo(jnp.zeros(0).dtype).eps) < 1e-9 else 1e-6
+        rtol = 1e-10 if (
+            mixed or float(jnp.finfo(jnp.zeros(0).dtype).eps) < 1e-9
+        ) else 1e-6
 
     # ---- per-qmap static structure --------------------------------------
     qinfos = []
@@ -1023,13 +1154,33 @@ def make_sharded_newton_step_general(
                     if (use_banded and getattr(dom, "_banded", None))
                     else None
                 ),
-                # coarse-dof table (pads -> dof 0: zero K_e rows, harmless)
+                # coarse tables (pads -> dof 0 -> node 0: zero K_e rows,
+                # harmless): per-element node aggregates + mode weights
                 cdof=(
-                    jnp.asarray(
-                        cdof_of_dof[_np.asarray(dofmap)].astype(_np.int32)
+                    (
+                        jnp.asarray(
+                            agg_of_node[
+                                _np.asarray(dofmap)[:, ::dom.ncomp]
+                                // ncomp_sp
+                            ].astype(_np.int32)
+                        ),
+                        jnp.asarray(
+                            W_node[
+                                _np.asarray(dofmap)[:, ::dom.ncomp]
+                                // ncomp_sp
+                            ]
+                        ),
                     )
                     if two_level
-                    else jnp.zeros(dofmap.shape, jnp.int32)
+                    else (
+                        jnp.zeros(
+                            (dofmap.shape[0], dom.nloc), jnp.int32
+                        ),
+                        jnp.zeros(
+                            (dofmap.shape[0], dom.nloc, dom.ncomp, 1),
+                            jnp.float32,
+                        ),
+                    )
                 ),
                 tables=(
                     jnp.asarray(dNdx),
@@ -1290,7 +1441,7 @@ def make_sharded_newton_step_general(
     P_ax, P_rep = P(axis), P()
     u_spec = P_ax if shard_dofs else P_rep
     table_specs = tuple((P_ax,) * 4 for _ in qinfos)
-    cdof_specs = tuple(P_ax for _ in qinfos)
+    cdof_specs = tuple((P_ax, P_ax) for _ in qinfos)
     state_specs = tuple(P_ax for _ in qinfos)
     esv_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in esv_consts)
     prop_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in props_consts)
@@ -1311,7 +1462,7 @@ def make_sharded_newton_step_general(
             P_rep,  # scales (flat tuple)
             u_spec,  # f_ext
         ),
-        out_specs=(u_spec, tuple(P_ax for _ in qinfos), P_rep),
+        out_specs=(u_spec, tuple(P_ax for _ in qinfos), P_rep, P_rep),
         # pallas_call (banded engine) inside shard_map cannot annotate its
         # outputs' varying-across-mesh state; skip the check (collectives
         # here are explicit psums/all_gathers, validated by equivalence
@@ -1411,11 +1562,15 @@ def make_sharded_newton_step_general(
 
         def gather_e(i, u_full, dofmap_l):
             ops = dof_ops[i]
-            return u_full[dofmap_l] if ops is None else ops[0](u_full)
+            # f64 vectors (the mixed-precision residual path) take the dofmap
+            # gather: the banded engine is a Pallas f32 kernel
+            if ops is None or u_full.dtype == jnp.float64:
+                return u_full[dofmap_l]
+            return ops[0](u_full)
 
         def assemble(i, dofmap_l, vals_e, dtype):
             ops = dof_ops[i]
-            if ops is None:
+            if ops is None or dtype == jnp.float64:
                 return jnp.zeros(nd_p, dtype).at[dofmap_l.ravel()].add(
                     vals_e.ravel()
                 )
@@ -1426,33 +1581,58 @@ def make_sharded_newton_step_general(
         # as the specialized step; the coarse operator accumulates EVERY
         # qmap's entering tangent) ------------------------------------------
         def build_coarse(K_es):
+            """Ac = W^T K W over node aggregates x modes, accumulated over all
+            qmaps: per element a node-level einsum (MXU work) then one
+            (nloc*nmodes)^2-per-element scatter — once per load step."""
             dtype = K_es[0].dtype
             bcw = gather_full(bc_mask.astype(dtype))
             Ac = jnp.zeros(ncoarse * ncoarse, dtype)
-            for tbl, cdof_l, K_e in zip(tables, cdofs, K_es):
+            mrange = jnp.arange(nmodes, dtype=jnp.int32)[None, None, :]
+            for qi, tbl, (agg_l, W_l), K_e in zip(
+                qinfos, tables, cdofs, K_es
+            ):
                 dofmap_l = tbl[3]
                 w_l = jnp.where(bcw[dofmap_l] > 0.5, 0.0, 1.0)
                 Kw = K_e * w_l[:, :, None] * w_l[:, None, :]
+                nl, nc = qi["nloc"], qi["ncomp"]
+                Kn = Kw.reshape(Kw.shape[0], nl, nc, nl, nc)
+                Wc = W_l.astype(dtype)
+                C_e = jnp.einsum("eacm,eacbd,ebdn->eambn", Wc, Kn, Wc)
+                ci = agg_l[:, :, None] * nmodes + mrange  # (ne_l, nloc, nmodes)
                 idx = (
-                    cdof_l[:, :, None] * ncoarse + cdof_l[:, None, :]
+                    ci[:, :, :, None, None] * ncoarse
+                    + ci[:, None, None, :, :]
                 ).ravel()
-                Ac = Ac.at[idx].add(Kw.ravel())
+                Ac = Ac.at[idx].add(C_e.ravel())
             Ac = jax.lax.psum(Ac, axis).reshape(ncoarse, ncoarse)
             dAc = jnp.diagonal(Ac)
             ridge = 1e-8 * jnp.max(jnp.abs(dAc)) + 1e-30
             Ac = Ac + (
                 ridge + jnp.where(jnp.abs(dAc) < ridge, 1.0, 0.0)
             ) * jnp.eye(ncoarse, dtype=dtype)
-            return jnp.linalg.inv(Ac)
+            # scale-invariant inverse: symmetric diagonal scaling compresses
+            # the contrast (inclusion-aggregate rows ~1e12, matrix ~1e7) so
+            # the f32 dense inverse stays accurate; symmetrize both ways
+            sc = 1.0 / jnp.sqrt(jnp.abs(dAc) + ridge)
+            As = Ac * sc[:, None] * sc[None, :]
+            As = 0.5 * (As + As.T)
+            Ai = jnp.linalg.inv(As)
+            Ai = 0.5 * (Ai + Ai.T)
+            return Ai * sc[:, None] * sc[None, :]
 
         if two_level:
             def restrict_full(r_full):
+                rn = r_full[:ndofs].reshape(nnodes, ncomp_sp)
+                rm = jnp.einsum("nc,ncm->nm", rn, W_node_j.astype(rn.dtype))
                 return jax.ops.segment_sum(
-                    r_full[:ndofs], cdof_ids, num_segments=ncoarse
-                )
+                    rm, agg_ids_node, num_segments=ncoarse // nmodes
+                ).ravel()
 
             def prolong_full(wc):
-                return wc[cdof_ids]
+                wcn = wc.reshape(-1, nmodes)[agg_ids_node]  # (nnodes, nmodes)
+                return jnp.einsum(
+                    "ncm,nm->nc", W_node_j.astype(wc.dtype), wcn
+                ).ravel()
 
             def shard_back(full):
                 if shard_dofs:
@@ -1467,8 +1647,14 @@ def make_sharded_newton_step_general(
                 return full
 
             def make_coarse_correct(Ac_inv):
-                def coarse_correct(r):
+                def coarse_correct(r, s_inv=None):
+                    """Coarse correction; under explicit symmetric scaling
+                    (``s_inv`` = 1/s) the coarse basis in scaled variables is
+                    S^-1 W, so Ac stays the UNSCALED W^T K W while restrict/
+                    prolong pick up one s_inv each."""
                     r0 = jnp.where(bc_mask, 0.0, r)
+                    if s_inv is not None:
+                        r0 = r0 * s_inv
                     if shard_dofs:
                         loc = nd_p // ndev
                         start = (shard_index() * loc).astype(jnp.int32)
@@ -1480,15 +1666,26 @@ def make_sharded_newton_step_general(
                         rc = restrict_full(r0)
                     wc = Ac_inv @ rc
                     corr = shard_back(prolong_full(wc))
+                    if s_inv is not None:
+                        corr = corr * s_inv
                     return jnp.where(bc_mask, 0.0, corr)
 
                 return coarse_correct
         else:
             def make_coarse_correct(_):
-                return jnp.zeros_like
+                def coarse_correct(r, s_inv=None):
+                    return jnp.zeros_like(r)
+
+                return coarse_correct
 
         def evaluate(u_):
-            """Full update: residual + element matrices + states, all qmaps."""
+            """Full update: residual + element matrices + states, all qmaps.
+
+            Under ``precision="mixed"`` the constitutive update and element
+            residual run in f64 (exact geometry tables, dofmap gathers, f64
+            scatter-add assembly) while the element TANGENT matrices are
+            computed in f32 from cast inputs — K only steers the CG, the f64
+            residual is what Newton converges on."""
             u_full = gather_full(u_)
             R_part = jnp.zeros(nd_p, u_.dtype)
             K_es, new_states = [], []
@@ -1501,9 +1698,18 @@ def make_sharded_newton_step_general(
                 flux, Ct, st_new = lk["integrate"](x, st_l, pc, dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
-                K_e = lk["matrices_cells"](
-                    u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, Ct, sc
-                )
+                if mixed:
+                    K_e = lk["matrices_cells"](
+                        u_e.astype(f_lo), dNdx_l.astype(f_lo),
+                        wdetJ_l.astype(f_lo), x_q_l.astype(f_lo),
+                        [f.astype(f_lo) for f in fields_e],
+                        Ct.astype(f_lo),
+                        [jnp.asarray(s, f_lo) for s in sc],
+                    )
+                else:
+                    K_e = lk["matrices_cells"](
+                        u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, Ct, sc
+                    )
                 R_part = R_part + assemble(i, dofmap_l, r_e, u_.dtype)
                 K_es.append(K_e)
                 new_states.append(st_new)
@@ -1528,26 +1734,56 @@ def make_sharded_newton_step_general(
             return norm(jnp.where(bc_mask, 0.0, R))
 
         def newton_update(u, R, K_es, res_norm):
+            # CG runs in the TANGENT dtype (f32 under precision="mixed")
+            cg_dtype = K_es[0].dtype
+
+            # --- explicit symmetric diagonal scaling (mixed only): solve
+            # (S K S) x^ = S b with S = diag(1/sqrt(|diag K|)) so every CG
+            # vector is O(1) — the f32 recurrences then survive the 1e12
+            # stiffness contrast of penalty-inclusion problems -------------
+            if mixed:
+                diag = jnp.zeros(nd_p, cg_dtype)
+                for i, (tbl, K_e) in enumerate(zip(tables, K_es)):
+                    diag = diag + assemble(
+                        i, tbl[3], jnp.diagonal(K_e, axis1=1, axis2=2),
+                        cg_dtype,
+                    )
+                diag = reduce_assembled(diag)
+                diag = jnp.where(
+                    bc_mask | (jnp.abs(diag) < 1e-30), 1.0, jnp.abs(diag)
+                )
+                s_vec = jax.lax.rsqrt(diag)
+                s_inv = diag * s_vec  # = sqrt(diag), exact-enough inverse
+                s_full = gather_full(s_vec)
+                K_ops = []
+                for i, (tbl, K_e) in enumerate(zip(tables, K_es)):
+                    s_e = gather_e(i, s_full, tbl[3])
+                    K_ops.append(K_e * s_e[:, :, None] * s_e[:, None, :])
+            else:
+                s_vec = s_inv = None
+                K_ops = K_es
+
             if use_block_smoother:
                 # node-block Jacobi accumulated over all qmaps (see the
-                # specialized step's newton_update for the scheme)
+                # specialized step's newton_update for the scheme); under
+                # scaling the blocks come from the SCALED operator
                 cols = []
                 for bcomp in range(ncomp_sp):
-                    col = jnp.zeros(nd_p, u.dtype)
-                    for i, (tbl, K_e) in enumerate(zip(tables, K_es)):
+                    col = jnp.zeros(nd_p, cg_dtype)
+                    for i, (tbl, K_e) in enumerate(zip(tables, K_ops)):
                         dofmap_l = tbl[3]
                         jj = _np.arange(K_e.shape[1])
                         node_col0 = jnp.asarray((jj // ncomp_sp) * ncomp_sp)
                         col = col + assemble(
                             i, dofmap_l, K_e[:, jj, node_col0 + bcomp],
-                            u.dtype,
+                            cg_dtype,
                         )
                     cols.append(reduce_assembled(col))
                 Bm = jnp.stack(cols, axis=-1).reshape(-1, ncomp_sp, ncomp_sp)
-                mb = bc_mask.reshape(-1, ncomp_sp).astype(u.dtype)
+                mb = bc_mask.reshape(-1, ncomp_sp).astype(cg_dtype)
                 keep = 1.0 - mb
                 Bm = Bm * keep[:, :, None] * keep[:, None, :]
-                eye = jnp.eye(ncomp_sp, dtype=u.dtype)
+                eye = jnp.eye(ncomp_sp, dtype=cg_dtype)
                 Bm = Bm + eye * mb[:, :, None]
                 tr = jnp.einsum("naa->n", jnp.abs(Bm))
                 Bm = Bm + eye * jnp.where(
@@ -1560,13 +1796,18 @@ def make_sharded_newton_step_general(
                         "nab,nb->na", Binv, r.reshape(-1, ncomp_sp)
                     ).reshape(-1)
 
+            elif mixed:
+                # scaled operator has unit diagonal: Jacobi smoother = I
+                def smooth(r):
+                    return r
+
             else:
-                diag = jnp.zeros(nd_p, u.dtype)
+                diag = jnp.zeros(nd_p, cg_dtype)
                 for i, (tbl, K_e) in enumerate(zip(tables, K_es)):
                     dofmap_l = tbl[3]
                     diag = diag + assemble(
                         i, dofmap_l, jnp.diagonal(K_e, axis1=1, axis2=2),
-                        u.dtype,
+                        cg_dtype,
                     )
                 diag = reduce_assembled(diag)
                 diag = jnp.where(
@@ -1581,7 +1822,7 @@ def make_sharded_newton_step_general(
                 v_full = gather_full(v0)
                 y = jnp.zeros(nd_p, v.dtype)
                 for i, ((dNdx_l, wdetJ_l, x_q_l, dofmap_l), K_e) in enumerate(
-                    zip(tables, K_es)
+                    zip(tables, K_ops)
                 ):
                     y_e = jnp.einsum(
                         "eij,ej->ei", K_e, gather_e(i, v_full, dofmap_l)
@@ -1590,10 +1831,13 @@ def make_sharded_newton_step_general(
                 y = reduce_assembled(y)
                 return jnp.where(bc_mask, v, y)
 
-            b = jnp.where(bc_mask, 0.0, -R)
+            b = (-R).astype(cg_dtype)
+            if mixed:
+                b = b * s_vec
+            b = jnp.where(bc_mask, 0.0, b)
             x0 = jnp.zeros_like(b)
             r0 = b
-            z0 = smooth(r0) + coarse_correct(r0)
+            z0 = smooth(r0) + coarse_correct(r0, s_inv)
             p0 = z0
 
             def cg_body(cg):
@@ -1603,7 +1847,7 @@ def make_sharded_newton_step_general(
                 alpha = jnp.where(jnp.abs(den) > 1e-30, rz / den, 0.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = smooth(r) + coarse_correct(r)
+                z = smooth(r) + coarse_correct(r, s_inv)
                 rz_new = vdot(r, z)
                 beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
                 return (x, r, z, p * beta + z, rz_new, k + 1)
@@ -1621,6 +1865,9 @@ def make_sharded_newton_step_general(
             du, *_ = jax.lax.while_loop(
                 cg_cond, cg_body, (x0, r0, z0, p0, rz0, 0)
             )
+            if mixed:
+                du = du * s_vec  # back to physical variables
+            du = du.astype(u.dtype)
 
             def ls_cond(c):
                 alpha, n_try, k = c
@@ -1661,7 +1908,7 @@ def make_sharded_newton_step_general(
         u, R, K_es, st_out, res_norm_f, _ = jax.lax.while_loop(
             newton_cond, newton_body, (u, R, K_es, st_out, res, 0)
         )
-        return u, tuple(st_out), res_norm_f
+        return u, tuple(st_out), res_norm_f, res
 
     def unpad_states(states):
         out = []
@@ -1671,8 +1918,19 @@ def make_sharded_newton_step_general(
         return out
 
     def step(u, states, bc_mask, bc_vals, dt=0.0, scales=None, f_ext=None):
-        states_p = pad_states(states)
         u = jnp.asarray(u)
+        if mixed:
+            u = u.astype(f_hi)
+            states = [
+                jax.tree.map(
+                    lambda a: jnp.asarray(a).astype(f_hi)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else jnp.asarray(a),
+                    st,
+                )
+                for st in states
+            ]
+        states_p = pad_states(states)
         if scales is None:
             scales = [
                 [problem._scale_value(s) for s in t["scales"]]
@@ -1682,7 +1940,9 @@ def make_sharded_newton_step_general(
             jnp.asarray(s, u.dtype) for ss in scales for s in ss
         )
         f_ext = (
-            jnp.zeros(ndofs, u.dtype) if f_ext is None else jnp.asarray(f_ext)
+            jnp.zeros(ndofs, u.dtype)
+            if f_ext is None
+            else jnp.asarray(f_ext, u.dtype)
         )
         bc_mask = jnp.asarray(bc_mask)
         bc_vals = jnp.asarray(bc_vals, u.dtype)
@@ -1698,7 +1958,7 @@ def make_sharded_newton_step_general(
             f_ext = jnp.concatenate(
                 [f_ext, jnp.zeros(nd_p - ndofs, f_ext.dtype)]
             )
-        u_new, new_states, rn = _step(
+        u_new, new_states, rn, rn0 = _step(
             u,
             tuple(qi["tables"] for qi in qinfos),
             tuple(qi["cdof"] for qi in qinfos),
@@ -1711,6 +1971,8 @@ def make_sharded_newton_step_general(
             scales_flat,
             f_ext,
         )
+        if return_info:
+            return u_new[:ndofs], unpad_states(new_states), rn, rn0
         return u_new[:ndofs], unpad_states(new_states), rn
 
     return jax.jit(step), pad_states
