@@ -73,11 +73,17 @@ class Ogden(HyperelasticBehavior):
 
     with lbar_i = J^(-1/3) lambda_i, i.e. sum lbar^alpha = tr(Cbar^(alpha/2)).
 
-    Parameter mapping to the reference behavior (mfront_materials/Ogden.mfront:
-    alpha=28.8, mu=2*0.4e6/28.8, K): its ``mu`` equals ``2 mu_p / alpha_p`` here, so
-    the demo material is ``Ogden(mu=(0.4e6,), alpha=(28.8,), K=69444444 * ...)`` —
-    the physical shear modulus is sum_p mu_p (verified in tests by the small-strain
-    limit of the AD tangent).
+    Parameter mapping to the reference behavior (mfront_materials/Ogden.mfront and
+    the identical demos/mfront/hyperelasticity/Ogden.mfront: alpha=28.8, mu=27778,
+    K=69444444): its ``mu`` equals ``2 mu_p / alpha_p`` here (mu_ours =
+    mu_mfront*alpha/2 ~ 0.4e6) while ``K`` maps VERBATIM — both volumetric
+    energies are K (J-1)^2 / 2, so the reference material is
+    ``Ogden(mu=(27778*28.8/2,), alpha=(28.8,), K=69444444.0)`` (the default).
+    Pinned against the mfront analytic PK2 formula at 1e-9 in
+    tests/test_ogden_mfront_parity.py. NOTE: rounds 1-3 benched with K=1e9 =
+    K_mfront*alpha/2 — a convention slip that made the benched problem's bulk
+    14.4x stiffer (K/G 2500 instead of the reference's ~174); the physical
+    shear modulus is sum_p mu_p (small-strain limit of the AD tangent).
 
     Stretch powers are computed as tr(Cbar^(a/2)) via ``matfun.powm`` — matmul-only,
     so the MXU does the work and the tangent is finite at F = I (where the MFront
@@ -86,9 +92,9 @@ class Ogden(HyperelasticBehavior):
 
     def __init__(
         self,
-        mu=(0.4e6,),
+        mu=(27778.0 * 28.8 / 2,),
         alpha=(28.8,),
-        K=69444444.0 * 28.8 / 2,
+        K=69444444.0,
         tangent_chunk=65536,
     ):
         self.mu = tuple(mu)
