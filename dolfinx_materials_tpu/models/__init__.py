@@ -49,6 +49,7 @@ from .conic import (  # noqa: F401
     rankine_norm,
 )
 from .conic_exact import (  # noqa: F401
+    HosfordExact,
     L1RankineExact,
     PlaneStressVonMisesExact,
     RankineExact,

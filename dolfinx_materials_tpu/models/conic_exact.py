@@ -243,6 +243,87 @@ class L1RankineExact(_ExactConicPlaneStress):
         return edges, vertices
 
 
+class HosfordExact(_ExactConicPlaneStress):
+    """Exact plane-stress Hosford projection (ref cvxpy_materials.py:96-110).
+
+    The reference's conic encoding (z-variables + p-norm cone) is equivalent,
+    on in-plane principal stresses (lam1, lam2, 0), to the classical Hosford
+    criterion
+
+        g(lam) = |lam1 - lam2|^a + |lam1|^a + |lam2|^a - 2 sig0^a <= 0.
+
+    For a > 2 this surface is C^1-SMOOTH (|x|^a has continuous derivative),
+    so unlike Rankine there are no polygon vertices to enumerate — the exact
+    projection is the solution of the 3x3 KKT system
+
+        A (lam - t) + mu grad g(lam) = 0,   g(lam) = 0,   mu >= 0
+
+    in trial principal axes (the isotropic-metric diagonalization argument of
+    the module docstring applies to ANY isotropic surface). Solved per point
+    by the batched damped Newton of ops/newton.py in sig0-normalized
+    variables, warm-started from the radial (p-norm scaling) return; the
+    consistent tangent falls out of the implicit function theorem — never
+    from unrolling (VERDICT r4 item 5: smoothed path as warm start, golden
+    vertex/edge parity <= 1e-8).
+    """
+
+    def __init__(self, E, nu, sig0, a=10.0, tangent="consistent"):
+        super().__init__(E, nu, ft=sig0, fc=sig0, tangent=tangent)
+        self.sig0 = float(sig0)
+        self.a = float(a)
+        # sig0-normalized principal metric, O(1) entries
+        self.A_hat = np.asarray(self.A) * self.E
+
+    def _g_hat(self, lam_hat):
+        """Normalized yield: sum |x_i|^a - 2 on x = (l1-l2, l1, l2)/sig0.
+        (x^2 + tiny)^(a/2) keeps |x|^a AD-stable at x = 0 for any a > 2."""
+        x = jnp.stack(
+            [lam_hat[0] - lam_hat[1], lam_hat[0], lam_hat[1]]
+        )
+        return jnp.sum((x * x + 1e-60) ** (self.a / 2)) - 2.0
+
+    def project(self, sig_trial3):
+        from ..ops.newton import newton_solve
+
+        dtype = sig_trial3.dtype
+        lam1, lam2, c2t, s2t = _principal_2x2(sig_trial3)
+        t_hat = jnp.array([lam1, lam2]) / self.sig0
+        A_hat = jnp.asarray(self.A_hat, dtype)
+        grad_g = jax.grad(self._g_hat)
+
+        def kkt(z, t_):
+            lam, mu = z[:2], z[2]
+            return jnp.concatenate(
+                [
+                    A_hat @ (lam - t_) + mu * grad_g(lam),
+                    jnp.array([self._g_hat(lam)], dtype),
+                ]
+            )
+
+        # warm start: radial p-norm scaling onto the surface + least-squares mu
+        g_t = self._g_hat(t_hat)
+        scale = (2.0 / jnp.maximum(g_t + 2.0, 1e-30)) ** (1.0 / self.a)
+        lam0 = t_hat * jnp.minimum(scale, 1.0)
+        g0 = grad_g(lam0)
+        mu0 = jnp.maximum(
+            (g0 @ (A_hat @ (t_hat - lam0))) / jnp.maximum(g0 @ g0, 1e-30),
+            0.0,
+        )
+        eps_d = float(jnp.finfo(dtype).eps)
+        z, _ = newton_solve(
+            kkt,
+            jnp.concatenate([lam0, mu0[None]]),
+            args=(t_hat,),
+            tol=max(1e-13, 30.0 * eps_d),
+            max_iter=60,
+        )
+        p1 = jnp.maximum(z[0], z[1]) * self.sig0
+        p2 = jnp.minimum(z[0], z[1]) * self.sig0
+        projected = _recompose_2x2(p1, p2, c2t, s2t)
+        # elastic short-circuit (identical value, degenerate eigen-AD dropped)
+        return jnp.where(g_t <= 0.0, sig_trial3, projected)
+
+
 class PlaneStressVonMisesExact(_ExactConicPlaneStress):
     """Exact plane-stress von Mises projection (ref cvxpy_materials.py:90-95:
     ``quad_form(sig, Q) <= sig0^2`` with the demo's Q = [[1,-1/2,0],

@@ -13,9 +13,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dolfinx_materials_tpu.models.conic_exact import L1RankineExact, RankineExact
+from dolfinx_materials_tpu.models.conic_exact import (
+    HosfordExact,
+    L1RankineExact,
+    RankineExact,
+)
 
 E, nu, ft, fc = 30e3, 0.2, 3.0, 30.0
+SIG0_HOSFORD, A_HOSFORD = 3.0, 10.0
 
 
 @pytest.fixture(scope="module")
@@ -33,6 +38,59 @@ def test_exact_projection_vs_golden(golden, kind):
     got = np.asarray(jax.vmap(mat.project)(trials))
     err = np.abs(got - ref).max()
     assert err <= 1e-8 * max(ft, fc), f"max projection error {err:.3e}"
+
+
+def test_hosford_exact_vs_golden(golden):
+    """VERDICT r4 item 5: the last smoothed conic surface made exact. Golden
+    rows (kind=2) come from an independent SLSQP + MINPACK-KKT solve in FULL
+    Mandel space (tests/golden/README.md)."""
+    mat = HosfordExact(E, nu, SIG0_HOSFORD, A_HOSFORD)
+    rows = golden[golden[:, 0] == 2]
+    assert len(rows) >= 20
+    got = np.asarray(jax.vmap(mat.project)(jnp.asarray(rows[:, 1:4])))
+    err = np.abs(got - rows[:, 4:7]).max()
+    assert err <= 1e-8 * SIG0_HOSFORD, f"max projection error {err:.3e}"
+
+
+def test_hosford_feasibility_and_interior():
+    mat = HosfordExact(E, nu, SIG0_HOSFORD, A_HOSFORD)
+    rng = np.random.default_rng(5)
+    trials = jnp.asarray(rng.normal(size=(256, 3)) * 50.0)
+    sig = np.asarray(jax.vmap(mat.project)(trials))
+    T = sig[:, 0] + sig[:, 1]
+    R = np.hypot(0.5 * (sig[:, 0] - sig[:, 1]), sig[:, 2] / np.sqrt(2))
+    l1, l2 = 0.5 * T + R, 0.5 * T - R
+    gval = (
+        np.abs(l1 - l2) ** A_HOSFORD
+        + np.abs(l1) ** A_HOSFORD
+        + np.abs(l2) ** A_HOSFORD
+    ) / SIG0_HOSFORD**A_HOSFORD - 2.0
+    assert (gval <= 1e-8).all()
+    s_in = jnp.array([0.5, -1.0, 0.3])
+    np.testing.assert_allclose(
+        np.asarray(mat.project(s_in)), np.asarray(s_in), atol=1e-12
+    )
+
+
+def test_hosford_consistent_tangent_fd():
+    mat = HosfordExact(E, nu, SIG0_HOSFORD, A_HOSFORD)
+    state = mat.init_state()
+
+    def f(e):
+        return mat.constitutive_update({"Strain": e}, state, 0.0)[0]["Stress"]
+
+    eps = jnp.array([4e-4, 1e-4, 2e-4])  # plastic
+    J = np.asarray(jax.jacfwd(f)(eps))
+    h = 1e-7
+    Jfd = np.stack(
+        [
+            (np.asarray(f(eps + h * jnp.eye(3)[i]))
+             - np.asarray(f(eps - h * jnp.eye(3)[i]))) / (2 * h)
+            for i in range(3)
+        ],
+        axis=1,
+    )
+    assert np.abs(J - Jfd).max() / np.abs(Jfd).max() < 1e-5
 
 
 def test_vertex_exactness():
