@@ -33,6 +33,11 @@ def test_demo_imports(path):
 
 # demo stem -> (entry attr, kwargs for a small-size run)
 EXEC_MATRIX = {
+    "composite_hyperelasticity_tpu": (
+        "main",
+        {"cfg": (1, 1, 1), "n_newton": 6, "n_cg": 60, "n_steps": 2,
+         "n_devices": 2},
+    ),
     "conic_return_mapping": ("main", {"n_dirs": 6}),
     "curved_cylinder": ("main", {"N": 3}),
     "finite_strain_elastoplasticity": ("main", {"N": 2}),
@@ -46,6 +51,7 @@ EXEC_MATRIX = {
 }
 
 
+@pytest.mark.demo
 @pytest.mark.parametrize("stem", sorted(EXEC_MATRIX), ids=str)
 def test_demo_executes(stem, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -54,6 +60,7 @@ def test_demo_executes(stem, tmp_path, monkeypatch):
     getattr(mod, entry)(**kwargs)
 
 
+@pytest.mark.demo
 def test_heat_transfer_demo_executes_with_time_series(tmp_path, monkeypatch):
     """Both heat entries run; the transient one writes a loadable .pvd/.vtk
     time series (VERDICT r2 missing #7)."""

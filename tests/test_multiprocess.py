@@ -24,6 +24,8 @@ import pytest
 
 from dolfinx_materials_tpu.parallel import multiprocess as mp
 
+pytestmark = pytest.mark.mp  # multi-process tier (default lane skips it)
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 WORKER = os.path.join(HERE, "_mp_worker.py")
