@@ -24,7 +24,7 @@ from .facets import (  # noqa: F401
 )
 from .gmsh_io import read_msh  # noqa: F401
 from .reorder import reorder_mesh  # noqa: F401
-from .io import TimeSeriesWriter, write_vtk  # noqa: F401
+from .io import TimeSeriesWriter, read_vtu, write_vtk, write_vtu  # noqa: F401
 from .submesh import (  # noqa: F401
     InterfaceDomain,
     InterfaceTerm,

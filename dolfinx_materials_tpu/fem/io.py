@@ -1,8 +1,16 @@
-"""Legacy-VTK output for fields (visualization/postprocessing).
+"""VTK output for fields (visualization/postprocessing).
 
 The reference writes XDMF/VTX via dolfinx.io (tests/uniaxial_tension.py:93-117,
-demo writers); here a dependency-free ASCII legacy .vtk writer covering the four
-cell types — loadable by ParaView/VisIt/meshio.
+demo writers); here the dependency-free equivalents covering the four cell
+types, loadable by ParaView/VisIt/meshio:
+
+- ``write_vtk``: ASCII legacy .vtk (human-readable, small meshes);
+- ``write_vtu``/``read_vtu``: XML .vtu with RAW APPENDED BINARY data — the
+  large-mesh format (~8 bytes/scalar + one XML header; a 1e6-dof vector field
+  writes in well under a second where the ASCII writer needs minutes). The
+  reader round-trips everything the writer emits, so checkpoint-grade
+  verification at scale lives in tests/test_io.py.
+- ``TimeSeriesWriter(..., fmt="vtu")``: .pvd time series over either format.
 """
 
 from __future__ import annotations
@@ -61,6 +69,151 @@ def write_vtk(path, mesh, point_data=None, cell_data=None):
     return path
 
 
+_NP_TO_VTU = {
+    np.dtype(np.float32): "Float32",
+    np.dtype(np.float64): "Float64",
+    np.dtype(np.int32): "Int32",
+    np.dtype(np.int64): "Int64",
+    np.dtype(np.uint8): "UInt8",
+}
+_VTU_TO_NP = {v: k for k, v in _NP_TO_VTU.items()}
+
+
+def write_vtu(path, mesh, point_data=None, cell_data=None):
+    """Binary XML .vtu (raw appended data, UInt64 headers, little-endian).
+
+    The large-mesh writer: each array is streamed as one raw binary block —
+    a uint64 byte count followed by the C-order bytes — referenced by offset
+    from the XML header (the standard VTK "appended/raw" encoding ParaView,
+    VisIt and meshio all read). point_data / cell_data: dict name -> (n,) or
+    (n, k) arrays; f32/f64 preserved as written.
+    """
+    pts = np.ascontiguousarray(np.asarray(mesh.points, dtype=np.float64))
+    if pts.shape[1] == 2:
+        pts = np.hstack([pts, np.zeros((len(pts), 1))])
+    cells = np.ascontiguousarray(np.asarray(mesh.cells, dtype=np.int64))
+    nc, nv = cells.shape
+    blocks = []  # (bytes,) in append order
+
+    def append(arr):
+        arr = np.ascontiguousarray(arr)
+        off = sum(8 + len(b) for b in blocks)
+        blocks.append(arr.tobytes())
+        return off
+
+    def da(arr, name=None, ncomp=None):
+        arr = np.asarray(arr)
+        if arr.dtype not in _NP_TO_VTU:
+            arr = arr.astype(np.float64)
+        t = _NP_TO_VTU[arr.dtype]
+        k = ncomp if ncomp is not None else (arr.shape[1] if arr.ndim > 1 else 1)
+        nm = f' Name="{name}"' if name else ""
+        return (
+            f'<DataArray type="{t}"{nm} NumberOfComponents="{k}" '
+            f'format="appended" offset="{append(arr)}"/>'
+        )
+
+    def fields(data, n):
+        out = []
+        for name, arr in (data or {}).items():
+            arr = np.asarray(arr)
+            if arr.dtype not in _NP_TO_VTU:
+                arr = arr.astype(np.float64)
+            arr = arr.reshape(n, -1)
+            if arr.shape[1] == 2:  # pad 2D vectors for ParaView glyphs
+                arr = np.hstack([arr, np.zeros((n, 1), arr.dtype)])
+            out.append("        " + da(arr, name=name))
+        return out
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt64">',
+        "  <UnstructuredGrid>",
+        f'    <Piece NumberOfPoints="{len(pts)}" NumberOfCells="{nc}">',
+        "      <Points>",
+        "        " + da(pts, ncomp=3),
+        "      </Points>",
+        "      <Cells>",
+        "        " + da(cells.reshape(-1), name="connectivity", ncomp=1),
+        "        " + da(np.arange(1, nc + 1, dtype=np.int64) * nv,
+                        name="offsets", ncomp=1),
+        "        " + da(np.full(nc, _VTK_TYPE[mesh.cell_type], np.uint8),
+                        name="types", ncomp=1),
+        "      </Cells>",
+    ]
+    pd, cd = fields(point_data, len(pts)), fields(cell_data, nc)
+    if pd:
+        lines += ["      <PointData>"] + pd + ["      </PointData>"]
+    if cd:
+        lines += ["      <CellData>"] + cd + ["      </CellData>"]
+    lines += [
+        "    </Piece>",
+        "  </UnstructuredGrid>",
+        '  <AppendedData encoding="raw">',
+        "_",
+    ]
+    with open(path, "wb") as f:
+        f.write("\n".join(lines).encode())
+        for b in blocks:
+            f.write(np.uint64(len(b)).tobytes())
+            f.write(b)
+        f.write(b"\n  </AppendedData>\n</VTKFile>\n")
+    return path
+
+
+def read_vtu(path):
+    """Read back a :func:`write_vtu` file (raw appended encoding only).
+
+    Returns ``(points (np, 3), cells (nc, nv), cell_type_ids (nc,),
+    point_data dict, cell_data dict)`` with dtypes as written. The verifier
+    for large-mesh output — and a plain consumer for anyone post-processing
+    without ParaView.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+
+    raw = open(path, "rb").read()
+    m = re.search(rb'<AppendedData encoding="raw">\s*_', raw)
+    if m is None:
+        raise ValueError(f"{path}: no raw appended data section")
+    blob = raw[m.end():]
+    header = raw[: m.start()].decode() + "<AppendedData/></VTKFile>"
+    root = ET.fromstring(header)
+    piece = root.find(".//Piece")
+
+    def load(el, n_rows):
+        off = int(el.get("offset"))
+        dt = _VTU_TO_NP[el.get("type")]
+        k = int(el.get("NumberOfComponents", "1"))
+        (count,) = np.frombuffer(blob[off : off + 8], np.uint64)
+        arr = np.frombuffer(blob[off + 8 : off + 8 + int(count)], dt)
+        return arr.reshape(n_rows, k) if k > 1 else arr
+
+    n_pts = int(piece.get("NumberOfPoints"))
+    n_cells = int(piece.get("NumberOfCells"))
+    pts = load(piece.find("Points/DataArray"), n_pts)
+    conn = offs = types = None
+    for el in piece.findall("Cells/DataArray"):
+        if el.get("Name") == "connectivity":
+            conn = load(el, 0 if n_cells == 0 else -1)
+        elif el.get("Name") == "offsets":
+            offs = load(el, -1)
+        elif el.get("Name") == "types":
+            types = load(el, -1)
+    nv = int(offs[0]) if len(offs) else 0
+    cells = conn.reshape(n_cells, nv) if n_cells else conn.reshape(0, 0)
+    pdata = {
+        el.get("Name"): load(el, n_pts)
+        for el in piece.findall("PointData/DataArray")
+    }
+    cdata = {
+        el.get("Name"): load(el, n_cells)
+        for el in piece.findall("CellData/DataArray")
+    }
+    return pts, cells, types, pdata, cdata
+
+
 class TimeSeriesWriter:
     """Multi-snapshot field output: per-step legacy .vtk files + a ParaView
     .pvd collection index.
@@ -70,13 +223,19 @@ class TimeSeriesWriter:
     this is the dependency-free equivalent — ``writer.write(t, point_data=...)``
     per step, files named ``<base>_0000.vtk`` ... referenced with their time
     stamps from ``<base>.pvd``, loadable as a time series by ParaView/VisIt.
+    ``fmt="vtu"`` switches the snapshots to raw-appended binary .vtu — the
+    large-mesh format (see :func:`write_vtu`).
     """
 
-    def __init__(self, path, mesh):
+    def __init__(self, path, mesh, fmt="vtk"):
         import os
 
+        path = os.fspath(path)
         self.base = path[:-4] if path.endswith(".pvd") else path
         self.mesh = mesh
+        if fmt not in ("vtk", "vtu"):
+            raise ValueError(f"fmt must be 'vtk' or 'vtu', got {fmt!r}")
+        self.fmt = fmt  # "vtu" = raw-appended binary (the large-mesh format)
         self.steps = []  # (time, filename)
         self._dir = os.path.dirname(os.path.abspath(self.base))
 
@@ -84,8 +243,9 @@ class TimeSeriesWriter:
         """Append one snapshot at time ``t``; rewrites the .pvd index."""
         import os
 
-        fname = f"{self.base}_{len(self.steps):04d}.vtk"
-        write_vtk(fname, self.mesh, point_data=point_data, cell_data=cell_data)
+        fname = f"{self.base}_{len(self.steps):04d}.{self.fmt}"
+        writer = write_vtu if self.fmt == "vtu" else write_vtk
+        writer(fname, self.mesh, point_data=point_data, cell_data=cell_data)
         self.steps.append((float(t), os.path.basename(fname)))
         self._write_pvd()
         return fname
