@@ -27,6 +27,7 @@ from dolfinx_materials_tpu.fem.forms import (
 )
 from dolfinx_materials_tpu.models import ThermoElasticIsotropic
 from dolfinx_materials_tpu.models.thermal import ThermoMechanicalHeat
+import pytest
 
 E, nu, T0 = 70e3, 0.3, 293.15
 alpha_th = 1e-3  # strong expansion -> strong u <- T coupling
@@ -91,6 +92,7 @@ def couplings(heat, mech, qT, qu):
     ]
 
 
+@pytest.mark.slow
 def test_blocked_beats_gauss_seidel_on_stiff_coupling():
     # 1) block Gauss-Seidel on the stiff problem: slow (needs many outers)
     heat, mech, qT, qu, T, u, mat_u, mat_T = build()

@@ -72,6 +72,7 @@ def test_hosford_feasibility_and_interior():
     )
 
 
+@pytest.mark.slow
 def test_hosford_consistent_tangent_fd():
     mat = HosfordExact(E, nu, SIG0_HOSFORD, A_HOSFORD)
     state = mat.init_state()

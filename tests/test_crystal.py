@@ -60,6 +60,7 @@ def test_elastic_below_threshold_and_flow_above():
     np.testing.assert_allclose(eps_p[:, :3].sum(axis=1), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_orientation_invariance_fem():
     """The reference's crystal rotation test: elastic step identical for all
     angles; final plastic state identical for 0 and 90 deg (cubic symmetry),

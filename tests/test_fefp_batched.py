@@ -16,6 +16,7 @@ from dolfinx_materials_tpu.models import (
     VoceHardening,
 )
 from dolfinx_materials_tpu.ops import tensors as tn
+import pytest
 
 
 def make_mat(**kw):
@@ -33,6 +34,7 @@ def rand_Fv(rng, n, amp):
     return np.asarray(tn.mat_to_nonsym(jnp.asarray(F)))
 
 
+@pytest.mark.slow
 def test_fefp_batched_parity_two_steps():
     n = 48
     rng = np.random.default_rng(0)
@@ -66,6 +68,7 @@ def test_fefp_batched_parity_two_steps():
         )
 
 
+@pytest.mark.slow
 def test_fefp_flux_only_matches_and_skips_tangent():
     n = 16
     rng = np.random.default_rng(1)

@@ -126,6 +126,7 @@ def test_j2_plasticity_uniaxial_closed_form(mesh_size):
     )
 
 
+@pytest.mark.slow
 def test_j2_krylov_matches_lu():
     """Matrix-free Jacobi-CG path reproduces the host LU path."""
     mat_module = __import__("dolfinx_materials_tpu", fromlist=["Material"])
@@ -142,6 +143,7 @@ def test_j2_krylov_matches_lu():
     np.testing.assert_allclose(res["cg"], res["lu"], rtol=1e-7, atol=1e-6 * sig0)
 
 
+@pytest.mark.slow
 def test_stencil_assembly_matches_general_path():
     """Structured-grid stencil gathers/assembly (shifted slices) must equal the
     general dofmap gather / gather-map assembly exactly, 2D and 3D, and the

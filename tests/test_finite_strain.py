@@ -18,6 +18,7 @@ from dolfinx_materials_tpu.models import (
     vonMisesIsotropicHardening,
 )
 from dolfinx_materials_tpu.ops import tensors as tn
+import pytest
 
 E, nu = 70e3, 0.3
 mu = E / 2 / (1 + nu)
@@ -124,6 +125,7 @@ def drive_uniaxial_F(mat, eps=2e-2, nsteps=20, nbatch=10):
     return np.array(P_hist), np.array(p_hist)
 
 
+@pytest.mark.slow
 def test_fefp_plasticity_reference_pattern():
     sig0, sigu, b = 500.0, 750.0, 1000.0
 
@@ -175,6 +177,7 @@ def test_fefp_small_strain_consistency():
     np.testing.assert_allclose(P_hist[-1][1], sig_ss[1], rtol=1e-4, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_hencky_wrapper_elastic():
     """Hencky-wrapped linear elasticity at F=I+small eps equals C:eps."""
     mat = Material(HenckyFiniteStrain(LinearElasticIsotropic(E, nu)))
@@ -189,6 +192,7 @@ def test_hencky_wrapper_elastic():
     np.testing.assert_allclose(np.asarray(P)[0, :3], (C @ eps_v)[:3], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hencky_j2_matches_fefp_small_strain():
     """Both finite-strain plasticity routes coincide in the small-strain limit."""
     sig0 = 50.0

@@ -14,6 +14,7 @@ from dolfinx_materials_tpu.models import (
     MericCailletaudCrystalPlasticity,
 )
 from dolfinx_materials_tpu.ops import tensors as tn
+import pytest
 
 MSH_V2 = """$MeshFormat
 2.2 0 8
@@ -56,6 +57,7 @@ def test_read_msh_v2(tmp_path):
     np.testing.assert_allclose(float(assemble_scalar(dom, 1.0)), 1.0, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_finite_strain_crystal_composition():
     """HenckyFiniteStrain(MericCailletaud) = the reference's finite-strain FCC
     crystal behavior (FCCMericCailletaudFiniteStrainSingleCrystal...mfront):

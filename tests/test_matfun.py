@@ -7,6 +7,7 @@ import numpy as np
 import scipy.linalg
 
 from dolfinx_materials_tpu.ops import matfun
+import pytest
 
 
 def rand_spd(rng, spread=2.0):
@@ -54,6 +55,7 @@ def test_identity_and_near_identity():
     )
 
 
+@pytest.mark.slow
 def test_grad_at_coincident_eigenvalues():
     """d tr(log(C)) / dC = C^{-1}; must hold AT C = c*I (eigh AD would NaN here)."""
 

@@ -88,6 +88,7 @@ def test_conic_surfaces_uniaxial(cls, kw):
     np.testing.assert_allclose(f, sig0, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_hosford_high_exponent_close_to_tresca_point():
     """Pure shear: Hosford with large a approaches Tresca (yield at sig0/2 shear),
     von Mises yields at sig0/sqrt(3) — the surfaces genuinely differ."""

@@ -7,8 +7,10 @@ import numpy as np
 from dolfinx_materials_tpu import Material
 from dolfinx_materials_tpu.models import Ogden
 from dolfinx_materials_tpu.ops import tensors as tn
+import pytest
 
 
+@pytest.mark.slow
 def test_ogden_batched_matches_generic():
     beh = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
     mat = Material(beh)

@@ -9,6 +9,8 @@
   nodes, see docs/perf.md).
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +56,7 @@ def make_plastic_problem(ksp_type, pc_type, N=8):
     return problem, u
 
 
+@pytest.mark.slow
 def test_two_level_matches_lu_on_plasticity():
     ref_problem, u_ref = make_plastic_problem("lu", "jacobi")
     conv, _ = ref_problem.solve()
@@ -89,6 +92,7 @@ def _fixed_budget_residual(problem, Kels, mask, rhs, pc, budget):
     return float(jnp.linalg.norm(Av(du) - b) / jnp.linalg.norm(b))
 
 
+@pytest.mark.slow
 def test_two_level_beats_jacobi_at_fixed_budget():
     """8450-dof elastic plate, 225-aggregate coarse space (33x reduction),
     100 CG iterations: Jacobi stalls ~2e-2, two-level reaches ~1e-11."""

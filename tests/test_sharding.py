@@ -124,6 +124,7 @@ def test_sharded_newton_step_matches_host_solver():
     assert p_ref.max() > 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_newton_step_dof_sharded_large():
     """Dof-sharded variant (VERDICT r1 item 9): u/R/CG vectors sharded over the
     mesh axis (all_gather + psum_scatter), demonstrated at > 1e6 dofs, matching
@@ -253,6 +254,7 @@ def test_sharded_newton_step_two_axis_mesh():
         np.testing.assert_allclose(u_out, u1.x, rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_newton_step_fefp_finite_strain():
     """The fused step drives the FINITE-STRAIN FeFp material (identity-
     initialized be/F_prev ISVs: exercises init-state padding — zeros would
@@ -315,6 +317,7 @@ def test_sharded_newton_step_fefp_finite_strain():
     assert p_ref.max() > 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_newton_step_ogden_3d_hex():
     """The fused step drives the 3D OGDEN hyperelastic block (hexahedra,
     deformation-gradient kinematics, K/mu = 2500 near-incompressibility) and

@@ -240,6 +240,7 @@ def test_general_step_unstructured_mesh():
     assert p_ref.max() > 1e-4
 
 
+@pytest.mark.slow
 def test_specialized_step_banded_unstructured():
     """The SPECIALIZED fused step (make_sharded_newton_step) routes its
     per-CG gather/assembly through the banded lane-gather engine on
@@ -346,6 +347,7 @@ def test_specialized_step_two_level_unstructured():
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_specialized_step_p2_tet_banded():
     """P2 TETRAHEDRA through the specialized fused step: the spatial node
     renumbering (fem/space.py:_renumber_nodes) must let the banded cell+asm
@@ -401,6 +403,7 @@ def test_specialized_step_p2_tet_banded():
     np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_general_step_banded_unstructured():
     """The GENERAL fused step now routes per-qmap gathers/assembly through
     the banded lane-gather engine when the domain's plans built (previously
@@ -456,6 +459,7 @@ def test_general_step_banded_unstructured():
     assert p_ref.max() > 1e-4
 
 
+@pytest.mark.slow
 def test_general_step_transient_phase_change():
     """TRANSIENT theta-scheme through the general fused step: the Enthalpy
     ISV appears in the residual (field = internal state variable), the
@@ -527,6 +531,7 @@ def test_general_step_transient_phase_change():
     assert (np.asarray(u_sh) > Tm).sum() >= 1
 
 
+@pytest.mark.slow
 def test_blocked_step_thermomechanical():
     """The fused BLOCKED step: stiffly two-way-coupled thermo-mechanics
     (cross-field tangent blocks both ways) matches the host
@@ -574,6 +579,7 @@ def test_blocked_step_thermomechanical():
     )
 
 
+@pytest.mark.slow
 def test_blocked_step_two_level_beats_jacobi():
     """The blocked step's TWO-LEVEL + node-block preconditioning (round-3
     roadmap's last fused-step gap): on a 24x24 stiffly-coupled
@@ -629,6 +635,7 @@ def test_blocked_step_two_level_beats_jacobi():
     )
 
 
+@pytest.mark.slow
 def test_blocked_step_interface():
     """The fused BLOCKED step with an INTERFACE law: the two-submesh sandwich
     (duplicated interface dofs joined by an elastic traction law) matches the
@@ -700,6 +707,7 @@ def test_blocked_step_interface():
     np.testing.assert_allclose(np.asarray(z_sh), z_ref, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_general_step_shard_dofs_two_materials_thermal():
     """`shard_dofs=True` on the GENERAL step (roadmap r3 gap: dof vectors
     were replicated): the two-material mechanics problem and the thermal
@@ -802,6 +810,7 @@ def test_general_step_shard_dofs_two_materials_thermal():
     np.testing.assert_allclose(np.asarray(u_sh), T1f.x, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_blocked_step_props_and_rotation():
     """The fused BLOCKED step with SPATIALLY-VARYING material properties and
     a constant material-frame ROTATION (the round-3 NotImplementedError gaps):
