@@ -42,6 +42,19 @@ LANE = 128
 SUB = 8  # default window rows streamed per grid step
 
 
+def _x64_off(dtype):
+    """Trace/bind context for the Pallas kernels: x64 disabled for 32-bit
+    kernels even when the host program enables x64 (the mixed-precision
+    residual path) — take_along_axis and BlockSpec index maps otherwise
+    produce int64 internals Mosaic cannot lower. The f64 oracle variant
+    (CPU tests) keeps x64 on."""
+    import contextlib
+
+    if jnp.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 @dataclass
 class BandedTakePlan:
     """Host-side plan for out[n] = sum_k table[idx[n, k]] (static idx)."""
@@ -189,22 +202,27 @@ def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
     QSTEPS = R // SUBp
 
     def kernel(base_ref, win_ref, r_ref, c_ref, o_ref):
-        k = pl.program_id(1)
-        q = pl.program_id(2)
+        # trace under x64=False even when the host program enables x64 (the
+        # mixed-precision residual path): take_along_axis otherwise builds
+        # int64 index internals, which Mosaic cannot lower. All kernel
+        # inputs are int32/f32, so this changes nothing numerically.
+        with _x64_off(dtype):
+            k = pl.program_id(1)
+            q = pl.program_id(2)
 
-        @pl.when(jnp.logical_and(k == 0, q == 0))
-        def _init():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            @pl.when(jnp.logical_and(k == 0, q == 0))
+            def _init():
+                o_ref[...] = jnp.zeros_like(o_ref)
 
-        win = win_ref[...]  # (SUBp, LANE)
-        r = r_ref[0, 0]  # (S, LANE)
-        c = c_ref[0, 0]
-        acc = o_ref[0]
-        for a in range(SUBp):
-            x = jnp.broadcast_to(win[a][None, :], (S, LANE))
-            cand = jnp.take_along_axis(x, c, axis=1)
-            acc = acc + jnp.where(r == q * SUBp + a, cand, 0.0)
-        o_ref[0] = acc
+            win = win_ref[...]  # (SUBp, LANE)
+            r = r_ref[0, 0]  # (S, LANE)
+            c = c_ref[0, 0]
+            acc = o_ref[0]
+            for a in range(SUBp):
+                x = jnp.broadcast_to(win[a][None, :], (S, LANE))
+                cand = jnp.take_along_axis(x, c, axis=1)
+                acc = acc + jnp.where(r == q * SUBp + a, cand, 0.0)
+            o_ref[0] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -231,7 +249,12 @@ def make_banded_take(plan: BandedTakePlan, dtype=jnp.float32, interpret=False):
         tp = jnp.concatenate([table, jnp.zeros(pad, dtype)]).reshape(
             plan.nrows, LANE
         )
-        out = call(plan.base8, tp, plan.rloc, plan.cloc)
+        # bind under x64=False even when the host program enables x64 (the
+        # mixed-precision residual path): BlockSpec index maps are traced at
+        # bind time and would return i64, which Mosaic cannot legalize.
+        # Every actual input is int32/f32, so nothing changes numerically.
+        with _x64_off(dtype):
+            out = call(plan.base8, tp, plan.rloc, plan.cloc)
         return _apply_patches(plan, out.reshape(-1)[: plan.n_out], table)
 
     return take
@@ -274,24 +297,26 @@ def make_banded_take_vmem(plan: BandedTakePlan, dtype=jnp.float32,
     SUBp = plan.sub
 
     def kernel(base_ref, nq_ref, tab_ref, r_ref, c_ref, o_ref):
-        s = pl.program_id(0)
-        acc = jnp.zeros((S, LANE), dtype)
-        for k in range(K):
-            base = base_ref[s, k]
-            nq = nq_ref[s, k]
-            r = r_ref[0, k]
-            c = c_ref[0, k]
+        # x64=False for the trace: see make_banded_take's kernel note
+        with _x64_off(dtype):
+            s = pl.program_id(0)
+            acc = jnp.zeros((S, LANE), dtype)
+            for k in range(K):
+                base = base_ref[s, k]
+                nq = nq_ref[s, k]
+                r = r_ref[0, k]
+                c = c_ref[0, k]
 
-            def body(q, acc):
-                win = tab_ref[pl.ds((base + q) * SUBp, SUBp), :]
-                for a in range(SUBp):
-                    x = jnp.broadcast_to(win[a][None, :], (S, LANE))
-                    cand = jnp.take_along_axis(x, c, axis=1)
-                    acc = acc + jnp.where(r == q * SUBp + a, cand, 0.0)
-                return acc
+                def body(q, acc):
+                    win = tab_ref[pl.ds((base + q) * SUBp, SUBp), :]
+                    for a in range(SUBp):
+                        x = jnp.broadcast_to(win[a][None, :], (S, LANE))
+                        cand = jnp.take_along_axis(x, c, axis=1)
+                        acc = acc + jnp.where(r == q * SUBp + a, cand, 0.0)
+                    return acc
 
-            acc = jax.lax.fori_loop(0, nq, body, acc)
-        o_ref[0] = acc
+                acc = jax.lax.fori_loop(0, nq, body, acc)
+            o_ref[0] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -323,7 +348,9 @@ def make_banded_take_vmem(plan: BandedTakePlan, dtype=jnp.float32,
         tp = jnp.concatenate([table, jnp.zeros(pad, dtype)]).reshape(
             plan.nrows, LANE
         )
-        out = call(plan.base8, plan.nq, tp, plan.rloc, plan.cloc)
+        # x64=False at bind time: see make_banded_take's note
+        with _x64_off(dtype):
+            out = call(plan.base8, plan.nq, tp, plan.rloc, plan.cloc)
         return _apply_patches(plan, out.reshape(-1)[: plan.n_out], table)
 
     return take

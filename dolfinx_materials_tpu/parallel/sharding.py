@@ -53,6 +53,55 @@ def _axis_size(mesh: Mesh, axis):
     return mesh.shape[axis]
 
 
+def _pbicgstab(Av, b, M, maxiter, tol, atol=0.0):
+    """Left-preconditioned BiCGStab as a plain ``lax.while_loop``.
+
+    Same algorithm (and stopping rule: |r|^2 <= max(tol*|b|, atol)^2) as
+    ``jax.scipy.sparse.linalg.bicgstab``, but WITHOUT the
+    ``lax.custom_linear_solve`` wrapper — that wrapper eagerly transposes the
+    matvec jaxpr, and the banded lane-gather Pallas kernels inside the fused
+    steps' matvecs have no transpose rule (the CPU oracle path does, which is
+    why this only bites on TPU). Breakdown (rho or omega ~ 0) exits early;
+    the caller's nonfinite guard handles the rest."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    bs = jnp.maximum(tol * _norm2(b), atol) ** 2
+    eps = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
+
+    def cond(st):
+        x, r, rhat, alpha, omega, rho, p, q, k = st
+        return (jnp.vdot(r, r).real > bs) & (k < maxiter) & (jnp.abs(rho) > 0)
+
+    def body(st):
+        x, r, rhat, alpha, omega, rho, p, q, k = st
+        rho_ = jnp.vdot(rhat, r)
+        beta = (rho_ / jnp.where(rho == 0, eps, rho)) * (
+            alpha / jnp.where(omega == 0, eps, omega)
+        )
+        p_ = r + beta * (p - omega * q)
+        phat = M(p_)
+        q_ = Av(phat)
+        denom = jnp.vdot(rhat, q_)
+        alpha_ = rho_ / jnp.where(denom == 0, eps, denom)
+        s = r - alpha_ * q_
+        shat = M(s)
+        t = Av(shat)
+        tt = jnp.vdot(t, t)
+        omega_ = jnp.vdot(t, s) / jnp.where(tt == 0, eps, tt)
+        x_ = x + alpha_ * phat + omega_ * shat
+        r_ = s - omega_ * t
+        return (x_, r_, rhat, alpha_, omega_, rho_, p_, q_, k + 1)
+
+    one = jnp.asarray(1.0, b.dtype)
+    st = (x0, r0, r0, one, one, one, x0, x0, 0)
+    x, *_ = jax.lax.while_loop(cond, body, st)
+    return x
+
+
+def _norm2(v):
+    return jnp.sqrt(jnp.vdot(v, v).real)
+
+
 def pad_to_multiple(arr, m, axis=0, fill=0):
     """Pad ``axis`` to a multiple of ``m`` (static shapes across shards)."""
     n = arr.shape[axis]
@@ -1991,6 +2040,7 @@ def make_sharded_blocked_step(
     pc_boxes=8,
     smoother=None,
     cg_rtol=1e-8,
+    use_banded=True,
 ):
     """Fused sharded Newton step for MONOLITHIC BLOCKED multi-field problems.
 
@@ -2219,6 +2269,16 @@ def make_sharded_blocked_step(
                     material=material,
                     ne_real=ne_real,
                     ne_pad=dNdx.shape[0],
+                    ne_cells=_np.asarray(dom.dofmap).shape[0],
+                    ndof_el=_np.asarray(dom.dofmap).shape[1],
+                    # banded lane-gather engine for this qmap's FIELD-local
+                    # gathers/assembly (same redundant-full pattern as the
+                    # general step); coupling/interface gathers stay scalar
+                    banded=(
+                        dom
+                        if (use_banded and getattr(dom, "_banded", None))
+                        else None
+                    ),
                     nq=dom.nq,
                     nloc=dom.nloc,
                     ncomp=dom.ncomp,
@@ -2578,6 +2638,78 @@ def make_sharded_blocked_step(
             qi["_esv_l"] = e_l
             qi["_props_l"] = p_l
 
+        def shard_index():
+            if isinstance(axis, tuple):
+                s = jax.lax.axis_index(axis[0])
+                for a in axis[1:]:
+                    s = s * mesh.shape[a] + jax.lax.axis_index(a)
+                return s
+            return jax.lax.axis_index(axis)
+
+        # --- per-qmap FIELD-local gather/assembly: banded lane-gather engine
+        # when the (sub)domain's plans built (same redundant-full pattern as
+        # the general step: every device runs the full banded pass, element
+        # work stays sharded); scalar dofmap ops otherwise. Coupling-column
+        # and interface gathers stay scalar — they are small next to the
+        # diagonal-block gathers that dominate the CG matvec. ---------------
+        def make_dof_ops(qi):
+            banded = qi["banded"]
+            if banded is None:
+                return None
+            ne_pad, ne_cells = qi["ne_pad"], qi["ne_cells"]
+            ndof_el = qi["ndof_el"]
+            ne_local = ne_pad // ndev
+            nf = sizes[qi["field"]]
+
+            def gather_cells(u_i):
+                ue = banded._banded_take("cell", u_i).reshape(
+                    ne_cells, ndof_el
+                )
+                if ne_pad != ne_cells:
+                    ue = jnp.concatenate(
+                        [ue, jnp.zeros((ne_pad - ne_cells, ndof_el), ue.dtype)]
+                    )
+                return jax.lax.dynamic_slice_in_dim(
+                    ue, (shard_index() * ne_local).astype(jnp.int32), ne_local
+                )
+
+            def partial_assemble(vals_e, dtype):
+                all_vals = jax.lax.dynamic_update_slice(
+                    jnp.zeros((ne_pad, ndof_el), dtype),
+                    vals_e.astype(dtype),
+                    (
+                        (shard_index() * ne_local).astype(jnp.int32),
+                        jnp.int32(0),
+                    ),
+                )
+                part = banded._banded_take(
+                    "asm", all_vals[:ne_cells].T.reshape(-1)
+                ).astype(dtype)
+                return part[:nf]
+
+            return (gather_cells, partial_assemble)
+
+        dof_ops = [make_dof_ops(qi) for qi in qinfos]
+
+        def gather_e(i, u_i, dofmap_l):
+            ops = dof_ops[i]
+            # f64 vectors take the dofmap gather: the banded engine's TPU
+            # kernel is f32 (on CPU _banded_take is the exact XLA oracle,
+            # but the dtype gate keeps behavior uniform)
+            if ops is None or u_i.dtype == jnp.float64:
+                return u_i[dofmap_l]
+            return ops[0](u_i)
+
+        def scatter_field(y, i, dofmap_l, vals_e):
+            """y[off_f + dofmap_l] += vals_e into the MONOLITHIC vector."""
+            qi = qinfos[i]
+            off = offsets[qi["field"]]
+            ops = dof_ops[i]
+            if ops is None or y.dtype == jnp.float64:
+                return y.at[dofmap_l.ravel() + off].add(vals_e.ravel())
+            part = ops[1](vals_e, y.dtype)
+            return y.at[off : off + sizes[qi["field"]]].add(part)
+
         def eval_coup_vals(qi, tabs, parts):
             """Coupled-ESV values (npts_l, size) per coupling of this qmap."""
             out = []
@@ -2618,7 +2750,11 @@ def make_sharded_blocked_step(
 
                 t_q = jax.vmap(jax.vmap(info["traction"]))(jump_q(u1, u2))
                 wt = w_l[:, :, None] * t_q
-                contrib = jnp.einsum("qv,fqc->fvc", Nf, wt).reshape(-1, nlc)
+                contrib = (
+                    jnp.einsum("qv,fqc->fvc", Nf, wt)
+                    .reshape(-1, nlc)
+                    .astype(dtype)
+                )
                 R = R.at[
                     (d1_l + offsets[info["i"]]).ravel()
                 ].add(-contrib.ravel())
@@ -2646,19 +2782,21 @@ def make_sharded_blocked_step(
                 )
                 base = jnp.einsum("fq,qv,qw,fqce->fvcwe", w_l, Nf, Nf, D)
                 k = info["nloc_f"] * nc
-                out.append(base.reshape(base.shape[0], k, k))
+                out.append(
+                    base.reshape(base.shape[0], k, k).astype(parts[0].dtype)
+                )
             return out
 
         def evaluate(z_):
             parts = split(z_)
             R_part = jnp.zeros(ndofs, z_.dtype)
             diag_Ks, coup_Ks, new_states = [], [], []
-            for qi, lk, tabs, ct, st_l in zip(
+            for i, (qi, lk, tabs, ct, st_l) in enumerate(zip(
                 qinfos, locals_, qtabs, ctabs, states
-            ):
+            )):
                 dNdx_l, wdetJ_l, x_q_l, dofmap_l = tabs
                 u_i = parts[qi["field"]]
-                u_e = u_i[dofmap_l]
+                u_e = gather_e(i, u_i, dofmap_l)
                 coup_vals = eval_coup_vals(qi, ct, parts)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, coup_vals)
                 flux, Ct, st_new = lk["integrate"](x, st_l, qi["_props_l"], dt)
@@ -2674,10 +2812,12 @@ def make_sharded_blocked_step(
                 Krc = lk["coupling_matrices"](
                     u_e, dNdx_l, wdetJ_l, x_q_l, Ct, coup_cols
                 )
-                off = offsets[qi["field"]]
-                R_part = R_part.at[dofmap_l.ravel() + off].add(r_e.ravel())
-                diag_Ks.append(K_e)
-                coup_Ks.append(Krc)
+                # material laws may bake f64 jnp constants (traced under
+                # x64): pin element tangents/residuals back to the solve
+                # dtype so scatters and the coarse build stay single-dtype
+                R_part = scatter_field(R_part, i, dofmap_l, r_e.astype(z_.dtype))
+                diag_Ks.append(K_e.astype(z_.dtype))
+                coup_Ks.append([K.astype(z_.dtype) for K in Krc])
                 new_states.append(st_new)
             R_part = R_part + itf_residual(parts, z_.dtype)
             R = jax.lax.psum(R_part, axis)
@@ -2687,19 +2827,17 @@ def make_sharded_blocked_step(
         def residual_norm(z_):
             parts = split(z_)
             R_part = jnp.zeros(ndofs, z_.dtype)
-            for qi, lk, tabs, ct, st_l in zip(
+            for i, (qi, lk, tabs, ct, st_l) in enumerate(zip(
                 qinfos, locals_, qtabs, ctabs, states
-            ):
+            )):
                 dNdx_l, wdetJ_l, x_q_l, dofmap_l = tabs
-                u_e = parts[qi["field"]][dofmap_l]
+                u_e = gather_e(i, parts[qi["field"]], dofmap_l)
                 coup_vals = eval_coup_vals(qi, ct, parts)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, coup_vals)
                 flux, st_new = lk["flux"](x, st_l, qi["_props_l"], dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e)
-                R_part = R_part.at[
-                    dofmap_l.ravel() + offsets[qi["field"]]
-                ].add(r_e.ravel())
+                R_part = scatter_field(R_part, i, dofmap_l, r_e.astype(z_.dtype))
             R_part = R_part + itf_residual(parts, z_.dtype)
             R = jax.lax.psum(R_part, axis)
             return norm(jnp.where(bc_mask, 0.0, R))
@@ -2878,21 +3016,20 @@ def make_sharded_blocked_step(
                 v0 = jnp.where(bc_mask, 0.0, v)
                 parts_v = split(v0)
                 y = jnp.zeros(ndofs, v.dtype)
-                for qi, tabs, ct, K_e, Krc in zip(
+                for i, (qi, tabs, ct, K_e, Krc) in enumerate(zip(
                     qinfos, qtabs, ctabs, diag_Ks, coup_Ks
-                ):
+                )):
                     dofmap_l = tabs[3]
-                    off = offsets[qi["field"]]
                     y_e = jnp.einsum(
-                        "eij,ej->ei", K_e, parts_v[qi["field"]][dofmap_l]
+                        "eij,ej->ei", K_e,
+                        gather_e(i, parts_v[qi["field"]], dofmap_l),
                     )
-                    y = y.at[dofmap_l.ravel() + off].add(y_e.ravel())
                     for c, (_, _, cdm_l, _), K in zip(
                         qi["my_coups"], ct, Krc
                     ):
                         vc = parts_v[c["col"]][cdm_l]
-                        yc = jnp.einsum("eij,ej->ei", K, vc)
-                        y = y.at[dofmap_l.ravel() + off].add(yc.ravel())
+                        y_e = y_e + jnp.einsum("eij,ej->ei", K, vc)
+                    y = scatter_field(y, i, dofmap_l, y_e)
                 for info, base in zip(itf_infos, itf_Ks):
                     _, d1_l, d2_l = info["_tabs_l"][:3]
                     o_i, o_j = offsets[info["i"]], offsets[info["j"]]
@@ -2913,12 +3050,15 @@ def make_sharded_blocked_step(
             # BiCGStab, not CG: the blocked operator is NONSYMMETRIC (the
             # cross-field coupling blocks are not each other's transposes) —
             # same reason the host BlockedNonlinearProblem defaults to
-            # bicgstab (solvers.py). Preconditioner = per-field smoother +
-            # frozen two-level coarse correction; n_cg is a budget (cg_rtol
-            # early-exit inside jax's bicgstab residual check).
-            du, _ = jax.scipy.sparse.linalg.bicgstab(
-                Av, b, x0=jnp.zeros_like(b), tol=cg_rtol, atol=0.0,
-                maxiter=n_cg, M=lambda v: smooth(v) + coarse_correct(v),
+            # bicgstab (solvers.py). Hand-rolled while_loop, NOT
+            # jax.scipy.sparse.linalg.bicgstab: that wrapper's
+            # custom_linear_solve transposes the matvec jaxpr, which the
+            # banded Pallas gathers don't support on TPU. Preconditioner =
+            # per-field smoother + frozen two-level coarse correction; n_cg
+            # is a budget (cg_rtol early-exit).
+            du = _pbicgstab(
+                Av, b, lambda v: smooth(v) + coarse_correct(v),
+                maxiter=n_cg, tol=cg_rtol,
             )
             du = jnp.where(jnp.isfinite(du), du, 0.0)
 
@@ -2970,15 +3110,23 @@ def make_sharded_blocked_step(
     def step(z, states, bc_mask, bc_vals, dt=0.0):
         states_p = pad_states(states)
         z = jnp.asarray(z)
+
+        def cast(t):
+            # tabulated geometry to the solve dtype: keeps element tangents,
+            # scatters and the coarse build in ONE dtype (an f32 solve must
+            # not silently promote through f64 host-tabulated dNdx/wdetJ)
+            a = jnp.asarray(t)
+            return a.astype(z.dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
         z_new, new_states, rn = _step(
             z,
-            tuple(qi["tables"] for qi in qinfos),
+            tuple(jax.tree.map(cast, qi["tables"]) for qi in qinfos),
             tuple(qi["cdof"] for qi in qinfos),
-            tuple(qi["coup_tabs"] for qi in qinfos),
+            tuple(jax.tree.map(cast, qi["coup_tabs"]) for qi in qinfos),
             tuple(states_p),
-            tuple(qi["esv_consts"] for qi in qinfos),
-            tuple(qi["props_consts"] for qi in qinfos),
-            tuple(info["tables"] for info in itf_infos),
+            tuple(jax.tree.map(cast, qi["esv_consts"]) for qi in qinfos),
+            tuple(jax.tree.map(cast, qi["props_consts"]) for qi in qinfos),
+            tuple(jax.tree.map(cast, info["tables"]) for info in itf_infos),
             jnp.asarray(bc_mask),
             jnp.asarray(bc_vals, z.dtype),
             jnp.asarray(dt, z.dtype),

@@ -43,8 +43,9 @@ def vol_strain():
     return expr
 
 
-def build(N=6):
-    mesh = create_rectangle((0, 0), (1.0, 1.0), (N, N), "quad")
+def build(N=6, mesh=None):
+    if mesh is None:
+        mesh = create_rectangle((0, 0), (1.0, 1.0), (N, N), "quad")
 
     # --- thermal field ----------------------------------------------------
     VT = FunctionSpace(mesh, 1, ())

@@ -583,10 +583,11 @@ def test_blocked_step_thermomechanical():
 def test_blocked_step_two_level_beats_jacobi():
     """The blocked step's TWO-LEVEL + node-block preconditioning (round-3
     roadmap's last fused-step gap): on a 24x24 stiffly-coupled
-    thermo-mechanical problem at a 30-iteration BiCGStab budget, the
+    thermo-mechanical problem at a 20-iteration BiCGStab budget, the
     monolithic coarse correction converges to the f64 floor where scalar
-    Jacobi stalls ~4 orders of magnitude higher — and the preconditioned
-    answer matches the host LU solve."""
+    Jacobi stalls ~5 orders of magnitude higher — and the preconditioned
+    answer matches the host LU solve. (Budget 20, not 30: at 30 Jacobi
+    nearly converges on this toy problem and the comparison is marginal.)"""
     import sys as _sys
     import pathlib as _pl
 
@@ -605,7 +606,7 @@ def test_blocked_step_two_level_beats_jacobi():
             [heat, mech], couplings(heat, mech, qT, qu)
         )
         step, _ = make_sharded_blocked_step(
-            blocked, cmesh, n_newton=8, n_cg=30, pc=pc, smoother=smoother
+            blocked, cmesh, n_newton=8, n_cg=20, pc=pc, smoother=smoother
         )
         mask, vals = blocked._masks()
         z0 = np.concatenate([T.x, u.x])
@@ -617,7 +618,7 @@ def test_blocked_step_two_level_beats_jacobi():
     z_tl, rn_tl = run("two_level", None)
     _, rn_jac = run("jacobi", "jacobi")
     assert rn_tl < 1e-10, rn_tl
-    assert rn_jac > 1e-9, rn_jac  # scalar Jacobi stalls at this budget
+    assert rn_jac > 1e-7, rn_jac  # scalar Jacobi stalls at this budget
 
     # host LU reference on the same problem
     heat1, mech1, qT1, qu1, T1, u1, _, _ = build(N)
@@ -632,6 +633,92 @@ def test_blocked_step_two_level_beats_jacobi():
     scale = float(np.abs(z_ref).max())
     np.testing.assert_allclose(
         z_tl, z_ref, rtol=1e-6, atol=1e-8 * max(1.0, scale)
+    )
+
+
+@pytest.mark.slow
+def test_blocked_step_banded_unstructured():
+    """The BLOCKED fused step's per-qmap gathers/assembly route through the
+    banded lane-gather engine when the field domains' plans built (VERDICT r4
+    directive 6 — previously always scalar dofmap ops). Unstructured Delaunay
+    thermo-mechanical problem big enough to clear the banded size gate
+    (ne*ndof_el >= 8192 on the vector field); the banded route must agree
+    with the scalar route to gather-reassociation round-off AND with the
+    host LU solve."""
+    import sys as _sys
+    import pathlib as _pl
+
+    import jax
+
+    from scipy.spatial import Delaunay
+
+    from dolfinx_materials_tpu.fem.mesh import Mesh as _Mesh
+
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_blocked import build, couplings
+
+    from dolfinx_materials_tpu.solvers import BlockedNonlinearProblem
+    from dolfinx_materials_tpu.parallel import make_sharded_blocked_step
+
+    cmesh = device_mesh(8)
+    rng = np.random.default_rng(3)
+    g = 38  # 2888 triangles: Vu has ne*ndof_el = 17328 >= 8192
+    xx, yy = np.meshgrid(np.arange(g + 1), np.arange(g + 1))
+    pts = np.stack([xx, yy], -1).reshape(-1, 2) / g
+    pts += np.where(
+        ((pts > 0) & (pts < 1)), rng.uniform(-0.2 / g, 0.2 / g, pts.shape), 0.0
+    )
+    tri = _Mesh(pts, Delaunay(pts).simplices.astype(np.int32), "triangle")
+    tri = reorder_mesh(tri)
+
+    # host reference
+    heat1, mech1, qT1, qu1, T1, u1, _, _ = build(mesh=tri)
+    blocked1 = BlockedNonlinearProblem(
+        [heat1, mech1], couplings(heat1, mech1, qT1, qu1),
+        options={"ksp_type": "lu"},
+    )
+    conv, _ = blocked1.solve()
+    assert conv
+    z_ref = np.concatenate([T1.x, u1.x])
+    scale = float(np.abs(z_ref).max())
+
+    def run(use_banded):
+        heat, mech, qT, qu, T, u, _, _ = build(mesh=tri)
+        if use_banded:
+            assert qu.domain._banded is not None, (
+                "banded plans must build on the vector field here"
+            )
+        blocked = BlockedNonlinearProblem(
+            [heat, mech], couplings(heat, mech, qT, qu)
+        )
+        step, _ = make_sharded_blocked_step(
+            blocked, cmesh, n_newton=16, n_cg=600, use_banded=use_banded
+        )
+        mask, vals = blocked._masks()
+        z0 = np.concatenate([T.x, u.x])
+        z0[np.asarray(mask)] = np.asarray(vals)[np.asarray(mask)]
+        states0 = [qi.material.data_manager.s0.internal for qi in (qT, qu)]
+        # f32: the dtype the banded TPU kernel serves (f64 takes the scalar
+        # path by design); on CPU _banded_take is the exact XLA oracle
+        z_sh, _, rn = step(
+            jnp.asarray(z0, jnp.float32),
+            jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), states0),
+            mask,
+            jnp.asarray(np.asarray(vals), jnp.float32),
+            0.0,
+        )
+        return np.asarray(z_sh), float(rn)
+
+    z_banded, rn_b = run(True)
+    z_scalar, rn_s = run(False)
+    # both f32 routes converge and agree with each other tightly...
+    assert rn_b < 1e-3 * 70e3 and rn_s < 1e-3 * 70e3
+    np.testing.assert_allclose(
+        z_banded, z_scalar, rtol=2e-4, atol=2e-4 * max(1.0, scale)
+    )
+    # ...and with the f64 host LU answer at f32 accuracy
+    np.testing.assert_allclose(
+        z_banded, z_ref, rtol=5e-3, atol=5e-4 * max(1.0, scale)
     )
 
 
