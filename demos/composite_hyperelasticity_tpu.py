@@ -159,11 +159,14 @@ def run_10_steps(
     @jax.jit
     def run_scan(u0, s0):
         def body(carry, vals):
-            u, sts = carry
-            u, sts, rn, rn0 = step(u, list(sts), mask, vals, 0.0)
-            return (u, tuple(sts)), (rn, rn0)
+            u, u_prev, sts = carry
+            # secant load-step predictor (uniform increments): extrapolate
+            # the previous displacement increment as the Newton start
+            guess = u + (u - u_prev)
+            un, sts, rn, rn0 = step(guess, list(sts), mask, vals, 0.0)
+            return (un, u, tuple(sts)), (rn, rn0)
 
-        (u, _), rns = jax.lax.scan(body, (u0, tuple(s0)), vals_stack)
+        (u, _, _), rns = jax.lax.scan(body, (u0, u0, tuple(s0)), vals_stack)
         return u, rns
 
     def run_all():

@@ -135,14 +135,19 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1,
     @jax.jit
     def run_scan(u0, s0):
         def body(carry, vals):
-            u, st = carry
+            u, u_prev, st = carry
+            # secant load-step predictor: uniform load increments, so the
+            # previous step's displacement increment extrapolates the next
+            # solution to second order — Newton starts ~one quadratic step
+            # from converged instead of from the last converged state
+            guess = u + (u - u_prev)
             if mixed:
-                u, sts, rn, rn0 = step(u, [st], mask, vals, 0.0)
-                return (u, sts[0]), (rn, rn0)
-            u, st, rn = step(u, st, mask, vals, 0.0)
-            return (u, st), (rn, rn * 0 + 1.0)
+                un, sts, rn, rn0 = step(guess, [st], mask, vals, 0.0)
+                return (un, u, sts[0]), (rn, rn0)
+            un, st, rn = step(guess, st, mask, vals, 0.0)
+            return (un, u, st), (rn, rn * 0 + 1.0)
 
-        (u, _), rns = jax.lax.scan(body, (u0, s0), vals_stack)
+        (u, _, _), rns = jax.lax.scan(body, (u0, u0, s0), vals_stack)
         return u, rns
 
     def run_all():

@@ -259,6 +259,64 @@ def _coord_agg_modes(space, pc_boxes, budget=3072, modes="trans", labels=None):
     return nagg * nmodes, agg, W.astype(np.float32)
 
 
+def _p1_coarse(space):
+    """Geometric P2->P1 coarse space on simplex meshes.
+
+    Coarse dofs are the MESH VERTEX dofs; the interpolation weight of coarse
+    vertex v at P2 node n is the P1 hat function value there — vertex nodes
+    map to themselves, edge nodes take half of each edge endpoint. Unlike the
+    coordinate-box aggregates the coarse basis is CONTINUOUS, so the
+    two-level CG gets the geometric-multigrid energy bound instead of the
+    unsmoothed-aggregation one (measured on the tet-P2 Ogden tangent:
+    1e-3 in ~40 PCG its vs 132 for box-RBM, _pc_proto results in
+    docs/perf.md). This is the TPU answer to the reference's GAMG hierarchy
+    on the same problem (reference demos/mfront/hyperelasticity:220-229).
+
+    Uses the CANONICAL node layout (vertices first, then edge nodes —
+    fem/space.py) mapped through ``space.node_renum``; no geometry matching.
+
+    Returns ``(ncoarse, parents (nnodes, 2) int32 vertex ids, pw (nnodes, 2)
+    float32, vid_of_node (nnodes,) int32 — vertex id of vertex nodes, -1
+    elsewhere, Wp1 (nloc, nvloc) float32 — P1 value of each local vertex at
+    each local node)``.
+    """
+    from ..fem.element import EDGES
+
+    mesh = space.mesh
+    if space.degree != 2 or mesh.cell_type not in ("triangle", "tetrahedron"):
+        raise NotImplementedError(
+            "coarse_modes='p1' needs a P2 simplex space "
+            f"(got P{space.degree} {mesh.cell_type})"
+        )
+    nv = mesh.num_vertices
+    edge_verts, _ = mesh.edges()
+    nnodes = space.num_nodes
+    parents = np.empty((nnodes, 2), np.int64)
+    parents[:nv, 0] = np.arange(nv)
+    parents[:nv, 1] = np.arange(nv)
+    parents[nv:] = edge_verts
+    pw = np.zeros((nnodes, 2), np.float32)
+    pw[:nv, 0] = 1.0
+    pw[nv:] = 0.5
+    vid = np.full(nnodes, -1, np.int64)
+    vid[:nv] = np.arange(nv)
+    renum = space.node_renum
+    if renum is not None:
+        p2, w2, v2 = (np.empty_like(parents), np.empty_like(pw),
+                      np.empty_like(vid))
+        p2[renum], w2[renum], v2[renum] = parents, pw, vid
+        parents, pw, vid = p2, w2, v2
+    nvloc = mesh.cells.shape[1]
+    Wp1 = np.zeros((space.nloc, nvloc), np.float32)
+    for a in range(nvloc):
+        Wp1[a, a] = 1.0
+    for i, (a, b) in enumerate(EDGES[mesh.cell_type]):
+        Wp1[nvloc + i, a] = 0.5
+        Wp1[nvloc + i, b] = 0.5
+    return (nv * space.ncomp, parents.astype(np.int32), pw,
+            vid.astype(np.int32), Wp1)
+
+
 def make_sharded_newton_step(
     qmap,
     problem,
@@ -1060,6 +1118,11 @@ def make_sharded_newton_step_general(
       (translations + rotations, the GAMG near-nullspace) instead of
       piecewise constants — the robust coarse space for near-incompressible
       tangents and quasi-rigid inclusions (:func:`_coord_agg_modes`);
+    - ``coarse_modes="p1"``: the geometric P2->P1 VERTEX coarse space on
+      simplex meshes (:func:`_p1_coarse`) — a CONTINUOUS coarse basis with
+      the geometric-multigrid energy bound, measured ~3x fewer PCG
+      iterations than box-RBM on the tet-P2 Ogden tangent (docs/perf.md);
+      requires a P2 triangle/tet space;
     - ``agg_split_materials=True``: aggregates never mix nodes of different
       qmap subsets, so each stiff inclusion gets its own rigid modes (nodes
       on subset interfaces count as the LAST qmap touching them — list
@@ -1080,6 +1143,9 @@ def make_sharded_newton_step_general(
     With ``return_info=True`` the step returns ``(u, states, res_norm,
     res0)`` — the entering residual norm alongside the final one, so callers
     can record per-step RELATIVE residuals without an extra dispatch.
+    ``return_info="stats"`` appends ``(newton_its, cg_its_total)`` — the
+    while_loop trip counts, already in the carries, so the telemetry is
+    free — for profiling where a load step's time goes.
     """
     import numpy as _np
 
@@ -1113,7 +1179,15 @@ def make_sharded_newton_step_general(
         f_hi, f_lo = jnp.float64, jnp.float32
     nnodes = ndofs // ncomp_sp
     two_level = pc == "two_level"
-    if two_level:
+    p1_coarse = two_level and coarse_modes == "p1"
+    if p1_coarse:
+        # geometric P2->P1 coarse space (continuous basis; agg_split has no
+        # meaning here — vertex hat functions already localize per material)
+        ncoarse, p1_parents, p1_pw, p1_vid, p1_W = _p1_coarse(space)
+        nverts_c = ncoarse // ncomp_sp
+        p1_parents_j = jnp.asarray(p1_parents)
+        p1_pw_j = jnp.asarray(p1_pw)
+    elif two_level:
         labels = None
         if agg_split_materials and len(problem._terms) > 1:
             # node label = LAST qmap whose cells touch the node (list stiff
@@ -1204,9 +1278,27 @@ def make_sharded_newton_step_general(
                     else None
                 ),
                 # coarse tables (pads -> dof 0 -> node 0: zero K_e rows,
-                # harmless): per-element node aggregates + mode weights
+                # harmless): per-element node aggregates + mode weights, or
+                # for p1 the element VERTEX ids (first nvloc local nodes are
+                # the vertices in the canonical local ordering; padded rows
+                # clamp to vertex 0 under their zero K_e rows)
                 cdof=(
                     (
+                        jnp.asarray(
+                            _np.maximum(
+                                p1_vid[
+                                    _np.asarray(dofmap)[
+                                        :, : space.mesh.cells.shape[1]
+                                        * dom.ncomp : dom.ncomp
+                                    ]
+                                    // ncomp_sp
+                                ],
+                                0,
+                            ).astype(_np.int32)
+                        ),
+                    )
+                    if p1_coarse
+                    else (
                         jnp.asarray(
                             agg_of_node[
                                 _np.asarray(dofmap)[:, ::dom.ncomp]
@@ -1490,7 +1582,9 @@ def make_sharded_newton_step_general(
     P_ax, P_rep = P(axis), P()
     u_spec = P_ax if shard_dofs else P_rep
     table_specs = tuple((P_ax,) * 4 for _ in qinfos)
-    cdof_specs = tuple((P_ax, P_ax) for _ in qinfos)
+    cdof_specs = tuple(
+        tuple(P_ax for _ in qi["cdof"]) for qi in qinfos
+    )
     state_specs = tuple(P_ax for _ in qinfos)
     esv_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in esv_consts)
     prop_specs = tuple(jax.tree.map(lambda _: P_ax, d) for d in props_consts)
@@ -1511,7 +1605,9 @@ def make_sharded_newton_step_general(
             P_rep,  # scales (flat tuple)
             u_spec,  # f_ext
         ),
-        out_specs=(u_spec, tuple(P_ax for _ in qinfos), P_rep, P_rep),
+        out_specs=(
+            u_spec, tuple(P_ax for _ in qinfos), P_rep, P_rep, P_rep, P_rep,
+        ),
         # pallas_call (banded engine) inside shard_map cannot annotate its
         # outputs' varying-across-mesh state; skip the check (collectives
         # here are explicit psums/all_gathers, validated by equivalence
@@ -1630,14 +1726,19 @@ def make_sharded_newton_step_general(
         # as the specialized step; the coarse operator accumulates EVERY
         # qmap's entering tangent) ------------------------------------------
         def build_coarse(K_es):
-            """Ac = W^T K W over node aggregates x modes, accumulated over all
-            qmaps: per element a node-level einsum (MXU work) then one
-            (nloc*nmodes)^2-per-element scatter — once per load step."""
+            """Ac = W^T K W over node aggregates x modes (or the P2->P1
+            vertex interpolation), accumulated over all qmaps: per element a
+            node-level einsum (MXU work) then one small-footprint scatter —
+            once per load step."""
             dtype = K_es[0].dtype
             bcw = gather_full(bc_mask.astype(dtype))
             Ac = jnp.zeros(ncoarse * ncoarse, dtype)
-            mrange = jnp.arange(nmodes, dtype=jnp.int32)[None, None, :]
-            for qi, tbl, (agg_l, W_l), K_e in zip(
+            if p1_coarse:
+                Wp1_j = jnp.asarray(p1_W)
+                crange = jnp.arange(ncomp_sp, dtype=jnp.int32)[None, None, :]
+            else:
+                mrange = jnp.arange(nmodes, dtype=jnp.int32)[None, None, :]
+            for qi, tbl, cd, K_e in zip(
                 qinfos, tables, cdofs, K_es
             ):
                 dofmap_l = tbl[3]
@@ -1645,14 +1746,23 @@ def make_sharded_newton_step_general(
                 Kw = K_e * w_l[:, :, None] * w_l[:, None, :]
                 nl, nc = qi["nloc"], qi["ncomp"]
                 Kn = Kw.reshape(Kw.shape[0], nl, nc, nl, nc)
-                Wc = W_l.astype(dtype)
-                C_e = jnp.einsum("eacm,eacbd,ebdn->eambn", Wc, Kn, Wc)
-                ci = agg_l[:, :, None] * nmodes + mrange  # (ne_l, nloc, nmodes)
+                if p1_coarse:
+                    (vert_l,) = cd
+                    Wc = Wp1_j.astype(dtype)
+                    # C_e[e, x, c, y, d] = Wp1[a, x] K[e,a,c,b,d] Wp1[b, y]
+                    C_e = jnp.einsum("ax,eacbd,by->excyd", Wc, Kn, Wc)
+                    ci = vert_l[:, :, None] * nc + crange  # (ne, nvloc, nc)
+                else:
+                    agg_l, W_l = cd
+                    Wc = W_l.astype(dtype)
+                    C_e = jnp.einsum("eacm,eacbd,ebdn->eambn", Wc, Kn, Wc)
+                    ci = agg_l[:, :, None] * nmodes + mrange
+                ne_l, nf = ci.shape[0], ci.shape[1] * ci.shape[2]
+                cif = ci.reshape(ne_l, nf)
                 idx = (
-                    ci[:, :, :, None, None] * ncoarse
-                    + ci[:, None, None, :, :]
+                    cif[:, :, None] * ncoarse + cif[:, None, :]
                 ).ravel()
-                Ac = Ac.at[idx].add(C_e.ravel())
+                Ac = Ac.at[idx].add(C_e.reshape(ne_l, nf, nf).ravel())
             Ac = jax.lax.psum(Ac, axis).reshape(ncoarse, ncoarse)
             dAc = jnp.diagonal(Ac)
             ridge = 1e-8 * jnp.max(jnp.abs(dAc)) + 1e-30
@@ -1669,7 +1779,26 @@ def make_sharded_newton_step_general(
             Ai = 0.5 * (Ai + Ai.T)
             return Ai * sc[:, None] * sc[None, :]
 
-        if two_level:
+        if p1_coarse:
+            def restrict_full(r_full):
+                rn = r_full[:ndofs].reshape(nnodes, ncomp_sp)
+                pw = p1_pw_j.astype(rn.dtype)
+                c0 = jax.ops.segment_sum(
+                    rn * pw[:, :1], p1_parents_j[:, 0], num_segments=nverts_c
+                )
+                c1 = jax.ops.segment_sum(
+                    rn * pw[:, 1:], p1_parents_j[:, 1], num_segments=nverts_c
+                )
+                return (c0 + c1).ravel()
+
+            def prolong_full(wc):
+                wn = wc.reshape(nverts_c, ncomp_sp)
+                pw = p1_pw_j.astype(wc.dtype)
+                return (
+                    pw[:, :1] * wn[p1_parents_j[:, 0]]
+                    + pw[:, 1:] * wn[p1_parents_j[:, 1]]
+                ).ravel()
+        elif two_level:
             def restrict_full(r_full):
                 rn = r_full[:ndofs].reshape(nnodes, ncomp_sp)
                 rm = jnp.einsum("nc,ncm->nm", rn, W_node_j.astype(rn.dtype))
@@ -1683,6 +1812,7 @@ def make_sharded_newton_step_general(
                     "ncm,nm->nc", W_node_j.astype(wc.dtype), wcn
                 ).ravel()
 
+        if two_level:
             def shard_back(full):
                 if shard_dofs:
                     if nd_p != ndofs:
@@ -1911,7 +2041,7 @@ def make_sharded_newton_step_general(
                 *_, rz, k = cg
                 return jnp.logical_and(k < n_cg, jnp.abs(rz) > cg_tol2)
 
-            du, *_ = jax.lax.while_loop(
+            du, _, _, _, _, cg_k = jax.lax.while_loop(
                 cg_cond, cg_body, (x0, r0, z0, p0, rz0, 0)
             )
             if mixed:
@@ -1933,7 +2063,7 @@ def make_sharded_newton_step_general(
             n1 = residual_norm(u + du)
             alpha, n_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (1.0, n1, 0))
             take = jnp.isfinite(n_fin) & (n_fin < res_norm)
-            return jnp.where(take, u + alpha * du, u)
+            return jnp.where(take, u + alpha * du, u), cg_k
 
         R, K_es, st_out = evaluate(u)
         res = norm(R)
@@ -1945,19 +2075,22 @@ def make_sharded_newton_step_general(
         )
 
         def newton_body(carry):
-            u, R, K_es, sts, res, it = carry
-            u_new = newton_update(u, R, K_es, res)
+            u, R, K_es, sts, res, it, cg_sum = carry
+            u_new, cg_k = newton_update(u, R, K_es, res)
             R_new, K_new, st_new = evaluate(u_new)
-            return (u_new, R_new, K_new, st_new, norm(R_new), it + 1)
+            return (
+                u_new, R_new, K_new, st_new, norm(R_new), it + 1,
+                cg_sum + cg_k,
+            )
 
         def newton_cond(carry):
-            _, _, _, _, res_prev, it = carry
+            _, _, _, _, res_prev, it, _ = carry
             return jnp.logical_and(it < n_newton, res_prev > rtol * res0 + atol)
 
-        u, R, K_es, st_out, res_norm_f, _ = jax.lax.while_loop(
-            newton_cond, newton_body, (u, R, K_es, st_out, res, 0)
+        u, R, K_es, st_out, res_norm_f, n_it, cg_sum = jax.lax.while_loop(
+            newton_cond, newton_body, (u, R, K_es, st_out, res, 0, 0)
         )
-        return u, tuple(st_out), res_norm_f, res
+        return u, tuple(st_out), res_norm_f, res, n_it, cg_sum
 
     def unpad_states(states):
         out = []
@@ -2007,7 +2140,7 @@ def make_sharded_newton_step_general(
             f_ext = jnp.concatenate(
                 [f_ext, jnp.zeros(nd_p - ndofs, f_ext.dtype)]
             )
-        u_new, new_states, rn, rn0 = _step(
+        u_new, new_states, rn, rn0, n_it, cg_sum = _step(
             u,
             tuple(qi["tables"] for qi in qinfos),
             tuple(qi["cdof"] for qi in qinfos),
@@ -2020,6 +2153,11 @@ def make_sharded_newton_step_general(
             scales_flat,
             f_ext,
         )
+        if return_info == "stats":
+            return (
+                u_new[:ndofs], unpad_states(new_states), rn, rn0,
+                (n_it, cg_sum),
+            )
         if return_info:
             return u_new[:ndofs], unpad_states(new_states), rn, rn0
         return u_new[:ndofs], unpad_states(new_states), rn

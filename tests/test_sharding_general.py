@@ -1039,3 +1039,56 @@ def test_blocked_step_props_and_rotation():
     assert conv
     z_norot = np.concatenate([T3.x, u3.x])
     assert np.abs(z_norot - z_ref).max() > 1e-8 * scale
+
+
+def test_general_step_p1_coarse_p2_tet():
+    """The geometric P2->P1 coarse space (coarse_modes="p1",
+    parallel/sharding.py:_p1_coarse) through the GENERAL mixed-precision
+    step on P2 tets must reproduce the host LU solve — the continuous
+    vertex-hat coarse basis used by the tet-P2 Ogden benchmark study
+    (docs/perf.md). Guards the parents/weights tables against the P2 node
+    renumbering and the vertex-footprint coarse assembly."""
+    import jax
+
+    from dolfinx_materials_tpu.fem import create_unit_cube
+    from dolfinx_materials_tpu.fem.forms import mandel_strain_3d
+
+    cmesh = device_mesh(8)
+    mesh = create_unit_cube(3, 3, 3, "tetrahedron")
+    V = FunctionSpace(mesh, 2, (3,))
+    exx = 1e-3
+
+    def build():
+        m = Material(LinearElasticIsotropic(E, nu))
+        q = QuadratureMap(V, 4, m)
+        q.register_gradient("Strain", mandel_strain_3d())
+        bcs = mech_bcs(V, exx) + [
+            DirichletBC(
+                locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 2], 0), 2),
+                0.0,
+            )
+        ]
+        prob = NonlinearMaterialProblem(
+            q, Function(V), bcs=bcs, options={"ksp_type": "lu"}
+        )
+        return m, q, bcs, prob
+
+    m1, q1, bcs1, prob1 = build()
+    conv, _ = prob1.solve()
+    assert conv
+
+    m2, q2, bcs2, prob2 = build()
+    step, _ = make_sharded_newton_step_general(
+        prob2, cmesh, n_newton=4, n_cg=300, rtol=1e-10, cg_rtol=1e-10,
+        precision="mixed", coarse_modes="p1", return_info=True,
+    )
+    mask, vals = combine_bcs(bcs2, V.num_dofs)
+    st0 = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float64), m2.data_manager.s0.internal
+    )
+    u_sh, states, rn, rn0 = step(
+        jnp.zeros(V.num_dofs), [st0], mask, jnp.asarray(vals, jnp.float64),
+        0.0,
+    )
+    assert float(rn) < 1e-7 * float(rn0)
+    np.testing.assert_allclose(np.asarray(u_sh), prob1.u.x, rtol=1e-5, atol=1e-9)
