@@ -1068,6 +1068,7 @@ def make_sharded_newton_step_general(
     coarse_modes="trans",
     agg_split_materials=False,
     return_info=False,
+    f32_warmup=True,
 ):
     """Fully-fused sharded Newton step for GENERAL problems (VERDICT r2 item 3).
 
@@ -1138,7 +1139,12 @@ def make_sharded_newton_step_general(
       set by f64, not by the f32 assembly floor (~60 Pa/GP measured on the
       Ogden protocol, docs/perf.md). Requires ``jax_enable_x64``. The f64
       residual path uses dofmap gathers + f64 scatter-adds (the Pallas
-      banded engine is f32; CG matvecs still ride it).
+      banded engine is f32; CG matvecs still ride it). With ``f32_warmup``
+      (default) each mixed step first runs Newton on an ALL-f32 copy of the
+      problem — banded gathers, MXU einsums, ~10x cheaper per iteration
+      than emulated-f64 — down to the f32 floor, then the f64 loop
+      polishes (typically 1-2 iterations). The returned ``res0`` is the
+      step's true entering residual as measured by the warmup.
 
     With ``return_info=True`` the step returns ``(u, states, res_norm,
     res0)`` — the entering residual norm alongside the final one, so callers
@@ -1857,27 +1863,29 @@ def make_sharded_newton_step_general(
 
                 return coarse_correct
 
-        def evaluate(u_):
+        def evaluate_g(u_, tbls, sts, ecs, pcs, scs, f_ext_v, cast_K):
             """Full update: residual + element matrices + states, all qmaps.
 
-            Under ``precision="mixed"`` the constitutive update and element
-            residual run in f64 (exact geometry tables, dofmap gathers, f64
-            scatter-add assembly) while the element TANGENT matrices are
-            computed in f32 from cast inputs — K only steers the CG, the f64
-            residual is what Newton converges on."""
+            Under ``precision="mixed"`` the f64 call (``cast_K=True``) runs
+            the constitutive update and element residual in f64 (exact
+            geometry tables, dofmap gathers, f64 scatter-add assembly) while
+            the element TANGENT matrices are computed in f32 from cast
+            inputs — K only steers the CG, the f64 residual is what Newton
+            converges on. The f32-warmup phase calls this with all-f32 data
+            (``cast_K=False``): everything rides the banded engine."""
             u_full = gather_full(u_)
             R_part = jnp.zeros(nd_p, u_.dtype)
             K_es, new_states = [], []
             for i, (qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc,
                     sc) in enumerate(zip(
-                qinfos, locals_, tables, states, esv_c, props_c, scales
+                qinfos, locals_, tbls, sts, ecs, pcs, scs
             )):
                 u_e = gather_e(i, u_full, dofmap_l)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
                 flux, Ct, st_new = lk["integrate"](x, st_l, pc, dt)
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
-                if mixed:
+                if cast_K:
                     K_e = lk["matrices_cells"](
                         u_e.astype(f_lo), dNdx_l.astype(f_lo),
                         wdetJ_l.astype(f_lo), x_q_l.astype(f_lo),
@@ -1892,16 +1900,21 @@ def make_sharded_newton_step_general(
                 R_part = R_part + assemble(i, dofmap_l, r_e, u_.dtype)
                 K_es.append(K_e)
                 new_states.append(st_new)
-            R = reduce_assembled(R_part) - f_ext
+            R = reduce_assembled(R_part) - f_ext_v
             R = jnp.where(bc_mask, 0.0, R)
             return R, K_es, new_states
 
-        def residual_norm(u_):
+        def evaluate(u_):
+            return evaluate_g(
+                u_, tables, states, esv_c, props_c, scales, f_ext, mixed
+            )
+
+        def residual_norm_g(u_, tbls, sts, ecs, pcs, scs, f_ext_v):
             u_full = gather_full(u_)
             R_part = jnp.zeros(nd_p, u_.dtype)
             for i, (qi, lk, (dNdx_l, wdetJ_l, x_q_l, dofmap_l), st_l, ec, pc,
                     sc) in enumerate(zip(
-                qinfos, locals_, tables, states, esv_c, props_c, scales
+                qinfos, locals_, tbls, sts, ecs, pcs, scs
             )):
                 u_e = gather_e(i, u_full, dofmap_l)
                 x = lk["point_inputs"](u_e, dNdx_l, x_q_l, ec)
@@ -1909,11 +1922,19 @@ def make_sharded_newton_step_general(
                 fields_e = lk["fields_from"](flux, st_new, u_e.shape[0])
                 r_e = lk["residual_cells"](u_e, dNdx_l, wdetJ_l, x_q_l, fields_e, sc)
                 R_part = R_part + assemble(i, dofmap_l, r_e, u_.dtype)
-            R = reduce_assembled(R_part) - f_ext
+            R = reduce_assembled(R_part) - f_ext_v
             return norm(jnp.where(bc_mask, 0.0, R))
 
-        def newton_update(u, R, K_es, res_norm):
-            # CG runs in the TANGENT dtype (f32 under precision="mixed")
+        def residual_norm(u_):
+            return residual_norm_g(
+                u_, tables, states, esv_c, props_c, scales, f_ext
+            )
+
+        def newton_update(u, R, K_es, res_norm, rnorm=None):
+            # CG runs in the TANGENT dtype (f32 under precision="mixed");
+            # ``rnorm`` is the line-search residual norm (the f32-warmup
+            # phase passes its all-f32 variant)
+            rnorm = rnorm or residual_norm
             cg_dtype = K_es[0].dtype
 
             # --- explicit symmetric diagonal scaling (mixed only): solve
@@ -2058,16 +2079,108 @@ def make_sharded_newton_step_general(
             def ls_body(c):
                 alpha, _, k = c
                 alpha = alpha * 0.5
-                return (alpha, residual_norm(u + alpha * du), k + 1)
+                return (alpha, rnorm(u + alpha * du), k + 1)
 
-            n1 = residual_norm(u + du)
+            n1 = rnorm(u + du)
             alpha, n_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (1.0, n1, 0))
             take = jnp.isfinite(n_fin) & (n_fin < res_norm)
             return jnp.where(take, u + alpha * du, u), cg_k
 
+        # --- f32 WARMUP PHASE (mixed only): f64 arithmetic is emulated on
+        # TPU (a single f64 residual-integrand einsum costs ~16 ms at the
+        # tet-P2 bench size vs ~1 ms for the f32 banded path), so most of a
+        # mixed step's time was f64 evaluate/line-search passes. Run Newton
+        # on an ALL-f32 copy of the problem first — banded gathers, MXU
+        # einsums — until the f32 floor or no line-search progress, then
+        # polish with the f64 loop below (usually 1-2 f64 iterations).
+        # States recompute from (u, entering s0) each evaluate, so the
+        # warmup's states are simply discarded.
+        it32 = jnp.int32(0) if mixed else 0
+        cg32 = jnp.int32(0) if mixed else 0
+        if mixed and f32_warmup:
+            def lo(t):
+                return jax.tree.map(
+                    lambda a: a.astype(f_lo)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a,
+                    t,
+                )
+
+            tables32 = tuple(lo(tbl) for tbl in tables)
+            states32 = tuple(lo(st) for st in states)
+            esv32 = tuple(lo(e) for e in esv_c)
+            props32 = tuple(lo(p) for p in props_c)
+            scales32 = [
+                [jnp.asarray(s, f_lo) for s in sc] for sc in scales
+            ]
+            f_ext32 = f_ext.astype(f_lo)
+
+            def evaluate32(u_):
+                return evaluate_g(
+                    u_, tables32, states32, esv32, props32, scales32,
+                    f_ext32, False,
+                )
+
+            def rnorm32(u_):
+                return residual_norm_g(
+                    u_, tables32, states32, esv32, props32, scales32,
+                    f_ext32,
+                )
+
+            u32 = u.astype(f_lo)
+            R32, K_es, _ = evaluate32(u32)
+            res32 = norm(R32)
+            res032 = jnp.maximum(res32, 1e-30)
+            coarse_correct = make_coarse_correct(
+                build_coarse(K_es) if two_level else None
+            )
+
+            def body32(carry):
+                u_, R_, K_, res_, it, cgs, _ = carry
+                u_new, cg_k = newton_update(u_, R_, K_, res_, rnorm=rnorm32)
+                R_n, K_n, _ = evaluate32(u_new)
+                res_n = norm(R_n)
+                # "still worth an f32 iteration" = the line search moved AND
+                # the residual dropped by >= 30%. Near the f32 floor the
+                # line search keeps accepting noise-level wiggles, so a
+                # moved-only exit burns the whole Newton budget (measured:
+                # 14-21 its/step); far from the floor a Newton iteration
+                # reduces the residual by orders of magnitude, so the 0.7
+                # factor never triggers early.
+                progress = jnp.any(u_new != u_) & (res_n < 0.7 * res_)
+                return (
+                    u_new, R_n, K_n, res_n, it + 1, cgs + cg_k, progress
+                )
+
+            def cond32(carry):
+                _, _, _, res_, it, _, progress = carry
+                # stop at the f32 floor (no further progress), the caller's
+                # tolerance, or one-below the Newton budget so the f64
+                # polish always gets at least one iteration
+                return (
+                    (it < n_newton - 1)
+                    & (res_ > jnp.maximum(rtol, 2e-5) * res032 + atol)
+                    & progress
+                )
+
+            u32, R32, K_es, res32, it32, cg32, _ = jax.lax.while_loop(
+                cond32, body32,
+                (u32, R32, K_es, res32, jnp.int32(0), jnp.int32(0), True),
+            )
+            u = jnp.where(bc_mask, bc_vals, u32.astype(u.dtype))
+
         R, K_es, st_out = evaluate(u)
         res = norm(R)
-        res0 = jnp.maximum(res, 1e-30)
+        if mixed and f32_warmup:
+            # normalizer/returned rn0 = the step's TRUE entering residual,
+            # measured by the warmup before it iterated (f32-relative error
+            # ~1e-6 on the large entering residual — fine for a normalizer);
+            # the f64 polish target rtol*res0 is then the honest one
+            res0 = jnp.maximum(res032.astype(u.dtype), res * 0 + 1e-30)
+            res_entering = res0
+        else:
+            res0 = jnp.maximum(res, 1e-30)
+            res_entering = res
         # frozen coarse factor from the SAME entering tangents the first
         # Newton update uses (late-bound name referenced by newton_update)
         coarse_correct = make_coarse_correct(
@@ -2090,7 +2203,10 @@ def make_sharded_newton_step_general(
         u, R, K_es, st_out, res_norm_f, n_it, cg_sum = jax.lax.while_loop(
             newton_cond, newton_body, (u, R, K_es, st_out, res, 0, 0)
         )
-        return u, tuple(st_out), res_norm_f, res, n_it, cg_sum
+        return (
+            u, tuple(st_out), res_norm_f, res_entering,
+            n_it + it32, cg_sum + cg32,
+        )
 
     def unpad_states(states):
         out = []
