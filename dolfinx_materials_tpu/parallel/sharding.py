@@ -268,7 +268,7 @@ def _p1_coarse(space):
     coordinate-box aggregates the coarse basis is CONTINUOUS, so the
     two-level CG gets the geometric-multigrid energy bound instead of the
     unsmoothed-aggregation one (measured on the tet-P2 Ogden tangent:
-    1e-3 in ~40 PCG its vs 132 for box-RBM, _pc_proto results in
+    1e-3 in ~40 PCG its vs 132 for box-RBM, tools/_pc_proto results in
     docs/perf.md). This is the TPU answer to the reference's GAMG hierarchy
     on the same problem (reference demos/mfront/hyperelasticity:220-229).
 
