@@ -3,77 +3,109 @@
 The BASELINE.json north-star metric: >= 1e8 J2 (von Mises + Voce) return-mapping
 updates/sec per chip, each update producing stress, new state AND the 6x6
 consistent tangent (the per-Newton-iteration workload, reference hot path
-dolfinx_materials/jaxmat.py:147-155). ``vs_baseline`` = value / 1e8.
+dolfinx_materials/jaxmat.py:147-155). ``vs_baseline`` = value / 1e8; from
+round 5 on ``value`` is the MEDIAN-of-N differential estimate (VERDICT r4
+directive 9 — the best-of-N headline swung 2x between rounds on tunnel noise);
+``best_gp_per_s`` keeps the old best-of-N figure for cross-round continuity.
 
-The headline number is produced ONLY after an on-device parity gate: the Pallas
-kernel's stress/tangent/state are checked against the independent jnp fast path
-(ops/j2_fast.py) on the same backend the timing runs on — the benched kernel and
-the validated kernel are the same compiled artifact (VERDICT r1 "bench/parity
-split-brain" fix). Secondary metrics ride in the same JSON object:
-``factored_gp_per_s`` (the 112 B/point factored-tangent kernel) and the parity
-errors themselves.
+Structure (VERDICT r4 directive 1 — round 4 lost 8 of 12 metrics to a single
+shared 840 s budget that the headline's degraded-tunnel compile consumed):
+
+- every phase runs in its OWN SUBPROCESS with its OWN timeout slice
+  (``python bench.py --phase NAME --budget S``);
+- the three END-TO-END reference-benchmark rows (composite Ogden+SVK,
+  tet-P2 block, hex-P1 block — reference timing_results.csv:1-6) run FIRST,
+  before the spread-heavy kernel timing;
+- phases print one JSON line per metric AS they measure it; the orchestrator
+  merges every parseable line from a phase's stdout EVEN IF the phase timed
+  out or crashed afterwards (``subprocess.TimeoutExpired.stdout``), so a
+  partially-complete phase still lands its finished rows;
+- after each phase the running result dict is checkpointed to
+  ``BENCH_partial.json`` (a black box if the driver kills the whole run);
+  stdout itself carries exactly ONE final JSON line;
+- all jax work inherits the persistent ``.jax_cache`` compile cache, so a
+  bench run after the last code change makes the driver's end-of-round run
+  warm (utils/cache.py).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 """
 
 import json
+import os
+import sys
 import time
 
-import numpy as np
-
 BASELINE_GP_PER_S = 1e8
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# phase table: (name, base timeout seconds). End-to-end rows first.
+# ---------------------------------------------------------------------------
+PHASES = [
+    ("composite", 720.0),
+    ("tet_p2", 720.0),
+    ("hex_p1", 420.0),
+    ("headline", 540.0),
+    ("fused_step", 300.0),
+    ("kernels", 480.0),
+]
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1500.0))
+MIN_SLICE_S = 120.0
+
+#: the primary key each phase owns — set to "failed: ..." when the phase
+#: produced nothing, so consumers always see the row
+PRIMARY_KEY = {
+    "composite": "ogden3d_composite_solve_10steps_s",
+    "tet_p2": "ogden3d_tet_p2_solve_10steps_s",
+    "hex_p1": "ogden3d_solve_10steps_s",
+    "headline": "value",
+    "fused_step": "fused_step_64x64_ms",
+    "kernels": "crystal_gp_per_s",
+}
+
+#: demo-emitted key -> bench key (phases that reuse the demos' --bench
+#: entries keep the demos' own key names on their stdout)
+KEYMAP = {
+    "composite_10steps_s": "ogden3d_composite_solve_10steps_s",
+    "composite_rel_R": "ogden3d_composite_rel_R",
+    "composite_dofs": "ogden3d_composite_dofs",
+    "tet_p2_10steps_s": "ogden3d_tet_p2_solve_10steps_s",
+    "tet_p2_rel_R": "ogden3d_tet_p2_rel_R",
+    "hex_p1_10steps_s": "ogden3d_solve_10steps_s",
+    "hex_p1_final_residual": "ogden3d_final_residual",
+}
+DROP_KEYS = {"E_pen"}
 
 
-def main():
-    import os
-    import subprocess
-    import sys
+def emit(d):
+    """One JSON metric line, flushed immediately — the orchestrator must see
+    it even if this phase is killed one microsecond later."""
+    sys.stdout.write(json.dumps(d) + "\n")
+    sys.stdout.flush()
 
-    # The axon TPU tunnel can hang INDEFINITELY at backend init (observed
-    # 2026-08-17: jax.devices() blocked for 8+ hours). Probe it in a
-    # disposable subprocess first so a dead tunnel produces a bounded,
-    # parseable failure line instead of a silent driver timeout that loses
-    # every metric.
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=240, check=True, capture_output=True,
-        )
-    except Exception as e:
-        print(
-            json.dumps(
-                {
-                    "metric": "j2_return_map_gauss_point_updates_per_s",
-                    "value": 0.0,
-                    "unit": "GP/s",
-                    "vs_baseline": 0.0,
-                    "error": "tpu_backend_unreachable_at_bench_time "
-                    f"({type(e).__name__})",
-                }
-            )
-        )
-        return
 
+# ---------------------------------------------------------------------------
+# phases (each runs in its own subprocess)
+# ---------------------------------------------------------------------------
+
+
+def phase_headline(budget):
+    """On-device parity gate + the J2 full/factored GP/s differential timing.
+
+    Identical kernel construction and loop shape to rounds 2-4 (the persistent
+    compile cache keys on the traced HLO — keep it byte-stable). Adaptive
+    reps: if the warm-up compile ate most of the slice, drop from 4 reps to 2
+    instead of timing out with nothing (VERDICT r4 directive 1c).
+    """
+    t0 = time.perf_counter()
     import jax
-
-    # persistent compile cache: the driver's end-of-round run (a fresh
-    # process) reuses every kernel compiled here before; also guards against
-    # slow remote-compile days
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass
     import jax.numpy as jnp
+    import numpy as np
 
-    t_bench_start = time.perf_counter()
+    from dolfinx_materials_tpu.utils.cache import enable_compile_cache
 
-    from dolfinx_materials_tpu.models import (
-        LinearElasticIsotropic,
-        VoceHardening,
-    )
+    enable_compile_cache()
+    from dolfinx_materials_tpu.models import LinearElasticIsotropic, VoceHardening
     from dolfinx_materials_tpu.ops.j2_fast import make_j2_batched_update
     from dolfinx_materials_tpu.ops.pallas_j2 import (
         expand_factored_tangent,
@@ -113,6 +145,12 @@ def main():
     Ct_f = expand_factored_tangent(el, sig_f, fac)
     err_fact = float(jnp.max(jnp.abs(Ct_f.T - Ct_r.reshape(n, -1)))) / 70e3
     assert err_fact < 1e-5, f"factored-tangent parity FAILED: {err_fact:.2e}"
+    emit({
+        "parity_sig": err_sig,
+        "parity_Ct": err_Ct,
+        "parity_p": err_p,
+        "parity_Ct_factored": err_fact,
+    })
 
     # ---- timing -------------------------------------------------------------
     # K chained updates INSIDE one jit (each iteration's inputs depend on the
@@ -133,7 +171,7 @@ def main():
 
         return loop
 
-    def timed_reps(loop, K, reps=4):
+    def timed_reps(loop, K, reps):
         out = loop(eps_T, epsp_T, p_row, K)
         float(jnp.sum(out[0]))  # forced scalar readback = real sync
         ts = []
@@ -144,49 +182,135 @@ def main():
             ts.append(time.perf_counter() - t0)
         return ts
 
-    def timed(loop, K, reps=4):
-        return min(timed_reps(loop, K, reps))
-
-    def gp_per_s(upd, K1=2, K2=22, reps=4):
-        """Best-of-``reps`` differential estimate PLUS the per-rep spread
-        (VERDICT r4 directive 3: tunnel variance must be recorded, not
-        averaged away — the r3 doc-vs-driver factored-J2 discrepancy was
-        exactly this). Each rep of the deep loop is paired with the best
+    def gp_per_s(upd, reps, K1=2, K2=22):
+        """Differential estimates over ``reps`` deep-loop repetitions; returns
+        (median, best, stats). Each deep rep is paired with the best
         short-loop time; spread = (max-min)/best over the per-rep GP/s."""
         loop = make_loop(upd)
-        t1 = timed(loop, K1, reps)
+        t1 = min(timed_reps(loop, K1, reps))
         t2s = timed_reps(loop, K2, reps)
-        ests = [n * (K2 - K1) / (t2 - t1) for t2 in t2s if t2 > t1]
+        ests = sorted(n * (K2 - K1) / (t2 - t1) for t2 in t2s if t2 > t1)
         if not ests:  # tunnel noise fallback: single-loop conservative bound
             v = n * K2 / min(t2s)
-            return v, {"best_of": reps, "spread_rel": None,
-                       "lower_bound": True}
-        best = max(ests)
-        return best, {
+            return v, v, {"best_of": reps, "spread_rel": None, "lower_bound": True}
+        best = ests[-1]
+        med = ests[len(ests) // 2] if len(ests) % 2 else 0.5 * (
+            ests[len(ests) // 2 - 1] + ests[len(ests) // 2]
+        )
+        return med, best, {
             "best_of": reps,
-            "spread_rel": round((max(ests) - min(ests)) / best, 4),
+            "spread_rel": round((ests[-1] - ests[0]) / best, 4),
         }
 
-    try:
-        full, full_stats = gp_per_s(update)
-        fact, fact_stats = gp_per_s(upd_fact)
-    except Exception:
-        # fallback so the driver always receives a result line
-        loop = make_loop(update)
-        full = n * 2 / timed(loop, 2)
-        fact = 0.0
-        full_stats = fact_stats = {"best_of": 0, "spread_rel": None}
+    # adaptive reps: a degraded-tunnel compile must shrink the timing, not
+    # starve it (each deep rep at steady state is ~30 ms; compiles dominate)
+    reps = 4 if (budget - (time.perf_counter() - t0)) > 180.0 else 2
+    med, best, full_stats = gp_per_s(update, reps)
+    emit({
+        "metric": "j2_return_map_gauss_point_updates_per_s",
+        "value": float(med),
+        "unit": "GP/s",
+        "vs_baseline": float(med / BASELINE_GP_PER_S),
+        "best_gp_per_s": float(best),
+        "full_gp_stats": full_stats,
+    })
+    med_f, best_f, fact_stats = gp_per_s(upd_fact, reps)
+    emit({
+        "factored_gp_per_s": float(med_f),
+        "factored_best_gp_per_s": float(best_f),
+        "factored_gp_stats": fact_stats,
+    })
 
-    # ---- secondary model-family metrics (guarded: never block the headline) -
+
+def phase_fused_step(budget):
+    """Fused FEM load step (6 Newton x 30 two-level-CG, 64x64 J2 plate) — the
+    one-XLA-program global-solve datapoint (docs/perf.md). The DOCUMENTED
+    configuration is the one recorded (VERDICT r2 item 5), with the achieved
+    residual printed alongside the wall time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dolfinx_materials_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from dolfinx_materials_tpu import (
+        Material,
+        NonlinearMaterialProblem,
+        QuadratureMap,
+    )
+    from dolfinx_materials_tpu.fem import (
+        DirichletBC,
+        Function,
+        FunctionSpace,
+        create_unit_square,
+        locate_dofs_geometrical,
+    )
+    from dolfinx_materials_tpu.fem.bc import combine_bcs
+    from dolfinx_materials_tpu.fem.forms import mandel_strain_2d
+    from dolfinx_materials_tpu.models import (
+        LinearElasticIsotropic,
+        VoceHardening,
+        vonMisesIsotropicHardening,
+    )
+    from dolfinx_materials_tpu.parallel import device_mesh, make_sharded_newton_step
+
+    el = LinearElasticIsotropic(70e3, 0.3)
+    hard = VoceHardening(350.0, 500.0, 1e3)
+    mat = Material(vonMisesIsotropicHardening(el, hard))
+    mesh = create_unit_square(64, 64, "quad")
+    V = FunctionSpace(mesh, 1, (2,))
+    qmap = QuadratureMap(V, 2, mat)
+    qmap.register_gradient("Strain", mandel_strain_2d())
+    left = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 0), 0)
+    bot = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 1], 0), 1)
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[:, 0], 1), 0)
+    bcs = [DirichletBC(left, 0.0), DirichletBC(bot, 0.0),
+           DirichletBC(right, 2 * 350.0 / 70e3)]
+    prob = NonlinearMaterialProblem(qmap, Function(V), bcs=bcs)
+    step, pad = make_sharded_newton_step(
+        qmap, prob, device_mesh(1), n_newton=6, n_cg=30, pc="two_level"
+    )
+    mask, vals = combine_bcs(bcs, V.num_dofs)
+    st0 = pad(mat.data_manager.s0.internal)
+    u0 = jnp.zeros(V.num_dofs, jnp.float32)
+    u, _, rn = step(u0, st0, mask, vals, 0.0)
+    float(jnp.sum(u))
+    best = np.inf
+    for _ in range(4):
+        t0 = time.perf_counter()
+        u, _, rn = step(u0, st0, mask, vals, 0.0)
+        float(jnp.sum(u))
+        best = min(best, time.perf_counter() - t0)
+    emit({
+        "fused_step_64x64_ms": float(best * 1e3),
+        "fused_step_residual": float(rn),
+        "fused_step_config": "6newton_x_30cg_two_level",
+    })
+
+
+def phase_kernels(budget):
+    """Secondary model-family kernel rows: crystal, FeFp, banded matvec,
+    Ogden. Each in its own try/except, each emitted as soon as measured."""
+    t0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dolfinx_materials_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # chained_gp protocol flags (ADVICE r3): when the differential signal is
     # noise-swamped even after deepening the chain, the returned figure is a
-    # dispatch-INCLUSIVE lower bound computed by a different protocol; callers
-    # record "<metric>_lower_bound": True so BENCH consumers can tell the
-    # estimates apart instead of silently comparing apples to oranges.
-    chained_gp_lower_bound = {"flag": False}
+    # dispatch-INCLUSIVE lower bound computed by a different protocol; the
+    # "<metric>_lower_bound": True flag tells BENCH consumers the estimates
+    # apart instead of silently comparing apples to oranges.
+    lower_bound = {"flag": False}
 
     def chained_gp(upd, x0, state0, evolve, n_pts, K1=2, K2=8):
-        chained_gp_lower_bound["flag"] = False
+        lower_bound["flag"] = False
+
         @jax.jit
         def loop(x, st, K):
             def body(i, carry):
@@ -219,177 +343,16 @@ def main():
                 return n_pts * (K3 - K1) / (t3 - t1)
             # still swamped: dispatch-inclusive lower bound, always positive —
             # a DIFFERENT protocol from the differential estimate; flag it
-            chained_gp_lower_bound["flag"] = True
+            lower_bound["flag"] = True
             return n_pts * K2 / t2
         return n_pts * (K2 - K1) / dt
 
-    extras = {}
-
-    def over_budget():
-        # leave headroom for the driver's own timeout: skip remaining extras
-        # once the run has consumed 14 minutes (headline already measured).
-        # Extras are ordered by importance: fused step (the global-solve
-        # datapoint), then the three END-TO-END reference-benchmark rows
-        # (composite / tet-P2 / hex — each cache-warm ~1-2 min, compile-cold
-        # minutes; the persistent .jax_cache makes the driver's run warm as
-        # long as bench ran once after the last code change), then
-        # crystal/fefp/banded/ogden kernel rows (~2-3 min total).
-        return time.perf_counter() - t_bench_start > 840.0
-
     try:
-        if over_budget():
-            raise TimeoutError
-        # fused FEM load step (6 Newton x 150 CG, 64x64 J2 plate) — the
-        # one-XLA-program global-solve datapoint (docs/perf.md)
-        from dolfinx_materials_tpu import (
-            Material as _M2,
-            NonlinearMaterialProblem as _NMP,
-            QuadratureMap as _QM,
-        )
-        from dolfinx_materials_tpu.fem import (
-            DirichletBC as _BC,
-            Function as _Fn,
-            FunctionSpace as _FS,
-            create_unit_square as _sq,
-            locate_dofs_geometrical as _loc,
-        )
-        from dolfinx_materials_tpu.fem.bc import combine_bcs as _cbc
-        from dolfinx_materials_tpu.fem.forms import mandel_strain_2d as _ms2
-        from dolfinx_materials_tpu.parallel import (
-            device_mesh as _dm,
-            make_sharded_newton_step as _mkstep,
-        )
-
-        _mat = _M2(
-            __import__(
-                "dolfinx_materials_tpu.models", fromlist=["x"]
-            ).vonMisesIsotropicHardening(el, hard)
-        )
-        _mesh = _sq(64, 64, "quad")
-        _V = _FS(_mesh, 1, (2,))
-        _qm = _QM(_V, 2, _mat)
-        _qm.register_gradient("Strain", _ms2())
-        _l = _loc(_V, lambda x: np.isclose(x[:, 0], 0), 0)
-        _b = _loc(_V, lambda x: np.isclose(x[:, 1], 0), 1)
-        _r = _loc(_V, lambda x: np.isclose(x[:, 0], 1), 0)
-        _bcs = [_BC(_l, 0.0), _BC(_b, 0.0), _BC(_r, 2 * 350.0 / 70e3)]
-        _prob = _NMP(_qm, _Fn(_V), bcs=_bcs)
-        # the DOCUMENTED configuration (docs/perf.md "Fused FEM load step"):
-        # 6 Newton x two-level-preconditioned 30-CG — the config the docs
-        # advertise is the config the driver records (VERDICT r2 item 5),
-        # with the achieved residual printed alongside the wall time
-        _step, _pad = _mkstep(
-            _qm, _prob, _dm(1), n_newton=6, n_cg=30, pc="two_level"
-        )
-        _mask, _vals = _cbc(_bcs, _V.num_dofs)
-        _st0 = _pad(_mat.data_manager.s0.internal)
-        _u0 = jnp.zeros(_V.num_dofs, jnp.float32)
-        _u, _, _rn = _step(_u0, _st0, _mask, _vals, 0.0)
-        float(jnp.sum(_u))
-        _best = np.inf
-        for _ in range(4):
-            _t0 = time.perf_counter()
-            _u, _, _rn = _step(_u0, _st0, _mask, _vals, 0.0)
-            float(jnp.sum(_u))
-            _best = min(_best, time.perf_counter() - _t0)
-        extras["fused_step_64x64_ms"] = float(_best * 1e3)
-        extras["fused_step_residual"] = float(_rn)
-        extras["fused_step_config"] = "6newton_x_30cg_two_level" 
-    except Exception as e:  # pragma: no cover
-        extras["fused_step_64x64_ms"] = f"failed: {type(e).__name__}"
-
-    def _demo_json(script, args, timeout_s):
-        """Run a demo's --bench entry in a SUBPROCESS (the mixed-precision
-        protocols enable jax_enable_x64, which must not leak into this
-        process's f32 kernels) and parse the last stdout line as JSON."""
-        import subprocess
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        out = subprocess.run(
-            [sys.executable, os.path.join(here, "demos", script), "--bench"]
-            + [str(a) for a in args],
-            cwd=here,
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-        if out.returncode != 0:
-            raise RuntimeError(
-                f"{script} --bench rc={out.returncode}: "
-                f"{out.stderr.strip()[-400:]}"
-            )
-        return json.loads(out.stdout.strip().splitlines()[-1])
-
-    try:
-        if over_budget():
-            raise TimeoutError
-        # THE reference benchmark (VERDICT r4 directive 1): Ogden matrix +
-        # eight quasi-rigid SVK sphere inclusions at E_pen=1e12, P2 tets at
-        # the matched coarse element count, 10 load steps to 20% strain —
-        # reference total 18.5 s @1 rank / 5.46 s @8 ranks
-        # (timing_results.csv). Mixed precision: per-step RELATIVE residuals
-        # recorded (f64-honest), not a fixed-budget f32 floor.
-        _cj = _demo_json("composite_hyperelasticity_tpu.py", [], 1200)
-        extras["ogden3d_composite_solve_10steps_s"] = _cj["composite_10steps_s"]
-        extras["ogden3d_composite_rel_R"] = [
-            float(f"{r:.3e}") for r in _cj["composite_rel_R"]
-        ]
-        extras["ogden3d_composite_dofs"] = _cj["composite_dofs"]
-        extras["ogden3d_ref_1rank_s"] = 18.5
-        extras["ogden3d_ref_8rank_s"] = 5.46
-    except Exception as e:  # pragma: no cover
-        extras["ogden3d_composite_solve_10steps_s"] = (
-            f"failed: {type(e).__name__}"
-        )
-
-    try:
-        if over_budget():
-            raise TimeoutError
-        # Homogeneous block at the reference's EXACT discretization (P2 tets,
-        # matched coarse count, Keast quadrature, banded engine), mixed
-        # precision with per-step relative residuals (VERDICT r4 directive 2).
-        _tj = _demo_json("ogden_block_tpu.py", [], 1200)
-        extras["ogden3d_tet_p2_solve_10steps_s"] = _tj["tet_p2_10steps_s"]
-        extras["ogden3d_tet_p2_rel_R"] = [
-            float(f"{r:.3e}") for r in _tj["tet_p2_rel_R"]
-        ]
-        extras["ogden_K"] = _tj["ogden_K"]  # reference K=6.944e7 (r4 fix)
-    except Exception as e:  # pragma: no cover
-        extras["ogden3d_tet_p2_solve_10steps_s"] = f"failed: {type(e).__name__}"
-
-    try:
-        if over_budget():
-            raise TimeoutError
-        # Homogeneous P1-hex proxy row (structured stencil, f32, in-process):
-        # the engine-speed datapoint, kept for r1-r3 continuity
-        import importlib.util as _ilu
-
-        _spec = _ilu.spec_from_file_location(
-            "ogden_block_tpu",
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "demos",
-                "ogden_block_tpu.py",
-            ),
-        )
-        _ogmod = _ilu.module_from_spec(_spec)
-        _spec.loader.exec_module(_ogmod)
-        _, _t_og, _rns_og, _rn0s_og = _ogmod.run_10_steps(
-            14, n_newton=20, n_cg=100, n_devices=1
-        )
-        extras["ogden3d_solve_10steps_s"] = float(_t_og)
-        extras["ogden3d_final_residual"] = float(_rns_og[-1])
-    except Exception as e:  # pragma: no cover
-        extras["ogden3d_solve_10steps_s"] = f"failed: {type(e).__name__}"
-
-    try:
-        if over_budget():
-            raise TimeoutError
+        from dolfinx_materials_tpu.material import Material
         from dolfinx_materials_tpu.models import MericCailletaudCrystalPlasticity
-        from dolfinx_materials_tpu.material import Material as _Mat
 
         beh_c = MericCailletaudCrystalPlasticity()
-        mat_c = _Mat(beh_c)
+        mat_c = Material(beh_c)
         nc = 1 << 14
         mat_c.set_data_manager(nc)
         eps0 = jnp.asarray(
@@ -398,158 +361,266 @@ def main():
             )
         )
         stc = mat_c.data_manager.s0.internal
-        extras["crystal_gp_per_s"] = float(
-            chained_gp(
-                beh_c.batched_update, eps0, stc,
-                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :6],
-                # K2=8 (was 4): the early-exiting crystal Newton made
-                # per-step time ~8x smaller, so the differential needs more
-                # chained steps to stay above tunnel noise
-                nc, K1=1, K2=8,
-            )
-        )
-        if chained_gp_lower_bound["flag"]:
-            extras["crystal_gp_per_s_lower_bound"] = True
+        row = {"crystal_gp_per_s": float(chained_gp(
+            beh_c.batched_update, eps0, stc,
+            lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :6],
+            # K2=8: the early-exiting crystal Newton's per-step time needs
+            # more chained steps to stay above tunnel noise
+            nc, K1=1, K2=8,
+        ))}
+        if lower_bound["flag"]:
+            row["crystal_gp_per_s_lower_bound"] = True
+        emit(row)
     except Exception as e:  # pragma: no cover
-        extras["crystal_gp_per_s"] = f"failed: {type(e).__name__}"
+        emit({"crystal_gp_per_s": f"failed: {type(e).__name__}"})
 
     try:
-        if over_budget():
-            raise TimeoutError
-        from dolfinx_materials_tpu.models import FeFpJ2Plasticity
-        from dolfinx_materials_tpu.ops import tensors as _tn
+        from dolfinx_materials_tpu.models import (
+            FeFpJ2Plasticity,
+            LinearElasticIsotropic,
+            VoceHardening,
+        )
+        from dolfinx_materials_tpu.ops import tensors as tn
 
+        el = LinearElasticIsotropic(70e3, 0.3)
+        hard = VoceHardening(350.0, 500.0, 1e3)
         fefp = FeFpJ2Plasticity(el, hard)
         nf = 1 << 17
         rng2 = np.random.default_rng(1)
-        F0 = np.tile(np.eye(3), (nf, 1, 1)) + 2e-2 * rng2.standard_normal((nf, 3, 3))
-        Fv0 = jnp.asarray(
-            np.asarray(_tn.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
+        F0 = np.tile(np.eye(3), (nf, 1, 1)) + 2e-2 * rng2.standard_normal(
+            (nf, 3, 3)
         )
+        Fv0 = jnp.asarray(np.asarray(tn.mat_to_nonsym(jnp.asarray(F0))), jnp.float32)
         st0 = {
-            "be": jnp.tile(jnp.asarray(_tn.I2, jnp.float32), (nf, 1)),
+            "be": jnp.tile(jnp.asarray(tn.I2, jnp.float32), (nf, 1)),
             "p": jnp.zeros(nf, jnp.float32),
-            "F_prev": jnp.tile(jnp.asarray(_tn.I9, jnp.float32), (nf, 1)),
+            "F_prev": jnp.tile(jnp.asarray(tn.I9, jnp.float32), (nf, 1)),
         }
-        extras["fefp_gp_per_s"] = float(
-            chained_gp(
-                fefp.batched_update, Fv0, st0,
-                # Ct must feed the carry or XLA dead-code-eliminates the
-                # 9-seed tangent pass (same trick as the J2 loop's X term)
-                lambda x0, out: x0 + 1e-6 * out[0] + 1e-9 * out[1][:, :9], nf,
-            )
-        )
-        if chained_gp_lower_bound["flag"]:
-            extras["fefp_gp_per_s_lower_bound"] = True
-    except Exception as e:  # pragma: no cover - diagnostics only
-        extras["fefp_gp_per_s"] = f"failed: {type(e).__name__}"
+        row = {"fefp_gp_per_s": float(chained_gp(
+            fefp.batched_update, Fv0, st0,
+            # Ct must feed the carry or XLA dead-code-eliminates the
+            # 9-seed tangent pass (same trick as the J2 loop's X term)
+            lambda x0, out: x0 + 1e-6 * out[0] + 1e-9 * out[1][:, :9], nf,
+        ))}
+        if lower_bound["flag"]:
+            row["fefp_gp_per_s_lower_bound"] = True
+        emit(row)
+    except Exception as e:  # pragma: no cover
+        emit({"fefp_gp_per_s": f"failed: {type(e).__name__}"})
 
     try:
-        if over_budget():
-            raise TimeoutError
         # unstructured banded-engine matvec (VERDICT r2 item 2): Delaunay tri
         # mesh, banded lane-gather matvec vs the scalar gather-map path
-        from scipy.spatial import Delaunay as _Del
+        from scipy.spatial import Delaunay
 
-        from dolfinx_materials_tpu.fem import reorder_mesh as _rm
-        from dolfinx_materials_tpu.fem.assembly import QuadratureDomain as _QD
-        from dolfinx_materials_tpu.fem.mesh import Mesh as _Mesh
-        from dolfinx_materials_tpu.fem.space import FunctionSpace as _FSb
+        from dolfinx_materials_tpu.fem import reorder_mesh
+        from dolfinx_materials_tpu.fem.assembly import QuadratureDomain
+        from dolfinx_materials_tpu.fem.mesh import Mesh
+        from dolfinx_materials_tpu.fem.space import FunctionSpace
 
-        _g = 182  # ~33k vertices -> ~66k dofs
-        _xx, _yy = np.meshgrid(np.arange(_g), np.arange(_g))
-        _rngb = np.random.default_rng(7)
-        _pts = np.stack([_xx, _yy], -1).reshape(-1, 2) / _g + _rngb.uniform(
-            -0.25 / _g, 0.25 / _g, (_g * _g, 2)
+        g = 182  # ~33k vertices -> ~66k dofs
+        xx, yy = np.meshgrid(np.arange(g), np.arange(g))
+        rngb = np.random.default_rng(7)
+        pts = np.stack([xx, yy], -1).reshape(-1, 2) / g + rngb.uniform(
+            -0.25 / g, 0.25 / g, (g * g, 2)
         )
-        _bmesh = _rm(_Mesh(_pts, _Del(_pts).simplices.astype(np.int32), "triangle"))
-        _Vb = _FSb(_bmesh, 1, (2,))
-        _domb = _QD(_Vb, 2)
-        assert _domb.banded_active, "banded plans must build for this metric"
-        _Keb = jnp.asarray(
-            _rngb.random((_domb.ne, _domb.ndof_el, _domb.ndof_el)).astype(
-                np.float32
-            )
+        bmesh = reorder_mesh(Mesh(pts, Delaunay(pts).simplices.astype(np.int32),
+                                  "triangle"))
+        Vb = FunctionSpace(bmesh, 1, (2,))
+        domb = QuadratureDomain(Vb, 2)
+        assert domb.banded_active, "banded plans must build for this metric"
+        Keb = jnp.asarray(
+            rngb.random((domb.ne, domb.ndof_el, domb.ndof_el)).astype(np.float32)
         )
-        _Kpb = _domb.spmv_prepare(_Keb)
-        _vb = jnp.asarray(_rngb.random(_Vb.num_dofs).astype(np.float32))
+        Kpb = domb.spmv_prepare(Keb)
+        vb = jnp.asarray(rngb.random(Vb.num_dofs).astype(np.float32))
 
         @jax.jit
-        def _mv_loop(v, k):
+        def mv_loop(v, k):
             return jax.lax.fori_loop(
                 0, k,
-                lambda i, v: v * 0.999999 + 1e-12 * jnp.sum(_domb.spmv(_Kpb, v)),
+                lambda i, v: v * 0.999999 + 1e-12 * jnp.sum(domb.spmv(Kpb, v)),
                 v,
             )
 
         # DIFFERENTIAL timing (K=24 vs K=4): a single-dispatch loop carries
         # ~1.8 ms of tunnel dispatch latency, which at r2/r3-kernel speeds
-        # DOMINATES the per-matvec quotient (r2 recorded 2.24 ms of which
-        # ~1.75 ms was dispatch). The differential cancels it and reports the
-        # steady-state matvec — NOT comparable to the r2 number.
-        def _t_mv(k):
-            float(jnp.sum(_mv_loop(_vb, k)))
+        # DOMINATES the per-matvec quotient. The differential cancels it and
+        # reports the steady-state matvec — NOT comparable to the r2 number.
+        def t_mv(k):
+            float(jnp.sum(mv_loop(vb, k)))
             best = np.inf
             for _ in range(3):
-                _t0 = time.perf_counter()
-                float(jnp.sum(_mv_loop(_vb, k)))
-                best = min(best, time.perf_counter() - _t0)
+                t0 = time.perf_counter()
+                float(jnp.sum(mv_loop(vb, k)))
+                best = min(best, time.perf_counter() - t0)
             return best
 
-        extras["banded_matvec_66kdof_ms"] = float(
-            (_t_mv(24) - _t_mv(4)) / 20 * 1e3
-        )
+        emit({"banded_matvec_66kdof_ms": float((t_mv(24) - t_mv(4)) / 20 * 1e3)})
     except Exception as e:  # pragma: no cover
-        extras["banded_matvec_66kdof_ms"] = f"failed: {type(e).__name__}"
+        emit({"banded_matvec_66kdof_ms": f"failed: {type(e).__name__}"})
 
     try:
-        if over_budget():
-            raise TimeoutError
         from dolfinx_materials_tpu.models import Ogden
+        from dolfinx_materials_tpu.ops import tensors as tn2
 
         og = Ogden(mu=(0.4e6,), alpha=(28.8,), K=1e9)
         no = 1 << 16
         F0 = np.tile(np.eye(3), (no, 1, 1)) + 0.1 * np.random.default_rng(
             3
         ).standard_normal((no, 3, 3))
-        from dolfinx_materials_tpu.ops import tensors as _tn2
-
-        Fvo = jnp.asarray(
-            np.asarray(_tn2.mat_to_nonsym(jnp.asarray(F0))), jnp.float32
-        )
-        extras["ogden_gp_per_s"] = float(
-            chained_gp(
-                og.batched_update, Fvo, {},
-                lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :9],
-                no, K1=1, K2=4,
-            )
-        )
-        if chained_gp_lower_bound["flag"]:
-            extras["ogden_gp_per_s_lower_bound"] = True
+        Fvo = jnp.asarray(np.asarray(tn2.mat_to_nonsym(jnp.asarray(F0))), jnp.float32)
+        row = {"ogden_gp_per_s": float(chained_gp(
+            og.batched_update, Fvo, {},
+            lambda x0, out: x0 + 1e-9 * out[0] + 1e-12 * out[1][:, :9],
+            no, K1=1, K2=4,
+        ))}
+        if lower_bound["flag"]:
+            row["ogden_gp_per_s_lower_bound"] = True
+        emit(row)
     except Exception as e:  # pragma: no cover
-        extras["ogden_gp_per_s"] = f"failed: {type(e).__name__}"
+        emit({"ogden_gp_per_s": f"failed: {type(e).__name__}"})
 
-    print(
-        json.dumps(
-            {
-                "metric": "j2_return_map_gauss_point_updates_per_s",
-                "value": float(full),
-                "unit": "GP/s",
-                "vs_baseline": float(full / BASELINE_GP_PER_S),
-                "factored_gp_per_s": float(fact),
-                # best-of-N + per-rep spread (VERDICT r4 directive 3: record
-                # tunnel variance so doc claims can be checked within it)
-                "full_gp_stats": full_stats,
-                "factored_gp_stats": fact_stats,
-                "parity_sig": err_sig,
-                "parity_Ct": err_Ct,
-                "parity_p": err_p,
-                "parity_Ct_factored": err_fact,
-                **extras,
-            }
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def run_phase(name, timeout_s):
+    """Run one phase subprocess; return the dict of every JSON line it
+    printed (partial results survive a timeout via TimeoutExpired.stdout)."""
+    import subprocess
+
+    if name == "composite":
+        cmd = [sys.executable, os.path.join(HERE, "demos",
+                                            "composite_hyperelasticity_tpu.py"),
+               "--bench"]
+    elif name == "tet_p2":
+        cmd = [sys.executable, os.path.join(HERE, "demos", "ogden_block_tpu.py"),
+               "--bench"]
+    elif name == "hex_p1":
+        cmd = [sys.executable, os.path.join(HERE, "demos", "ogden_block_tpu.py"),
+               "--bench", "hex"]
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__), "--phase", name,
+               "--budget", str(timeout_s)]
+    out_text, status = "", "ok"
+    try:
+        out = subprocess.run(cmd, cwd=HERE, capture_output=True, text=True,
+                             timeout=timeout_s)
+        out_text = out.stdout or ""
+        if out.returncode != 0:
+            status = f"rc={out.returncode}: {(out.stderr or '').strip()[-300:]}"
+    except subprocess.TimeoutExpired as e:
+        def _dec(b):
+            return b.decode(errors="replace") if isinstance(b, bytes) else (b or "")
+        out_text = _dec(e.stdout)
+        status = f"timeout after {timeout_s:.0f}s"
+    except Exception as e:  # pragma: no cover
+        status = f"{type(e).__name__}: {e}"
+    merged = {}
+    for line in out_text.splitlines():
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(d, dict):
+            merged.update(d)
+    return merged, status
+
+
+def main():
+    import subprocess
+
+    # The axon TPU tunnel can hang INDEFINITELY at backend init (observed
+    # 2026-08-17: jax.devices() blocked for 8+ hours). Probe it in a
+    # disposable subprocess first so a dead tunnel produces a bounded,
+    # parseable failure line instead of a silent driver timeout that loses
+    # every metric.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, check=True, capture_output=True,
         )
-    )
+    except Exception as e:
+        print(json.dumps({
+            "metric": "j2_return_map_gauss_point_updates_per_s",
+            "value": 0.0,
+            "unit": "GP/s",
+            "vs_baseline": 0.0,
+            "error": "tpu_backend_unreachable_at_bench_time "
+            f"({type(e).__name__})",
+        }))
+        return
+
+    t_start = time.perf_counter()
+    results = {}
+    phase_log = {}
+    for i, (name, base) in enumerate(PHASES):
+        remaining = TOTAL_BUDGET_S - (time.perf_counter() - t_start)
+        # reserve a minimum slice for every phase still queued behind this one
+        reserve = MIN_SLICE_S * (len(PHASES) - i - 1)
+        slice_s = min(base, max(MIN_SLICE_S, remaining - reserve))
+        if remaining < 60.0:
+            phase_log[name] = "skipped: global budget exhausted"
+            if PRIMARY_KEY[name] not in results:
+                results.setdefault(PRIMARY_KEY[name], "failed: global_budget")
+            continue
+        merged, status = run_phase(name, slice_s)
+        for k, v in merged.items():
+            if k in DROP_KEYS:
+                continue
+            results[KEYMAP.get(k, k)] = v
+        if status != "ok":
+            phase_log[name] = status
+        if PRIMARY_KEY[name] not in results:
+            results[PRIMARY_KEY[name]] = f"failed: {status}"
+        # round the rel-residual lists for readability
+        for k in ("ogden3d_composite_rel_R", "ogden3d_tet_p2_rel_R"):
+            if k in results and isinstance(results[k], list):
+                results[k] = [float(f"{r:.3e}") for r in results[k]]
+        # black box: checkpoint after every phase in case the driver kills us
+        snap = dict(results)
+        if phase_log:
+            snap["phase_log"] = phase_log
+        try:
+            with open(os.path.join(HERE, "BENCH_partial.json"), "w") as f:
+                json.dump(snap, f, indent=1)
+        except OSError:
+            pass
+
+    # reference comparison constants for the end-to-end rows
+    # (reference demos/mfront/hyperelasticity/timing_results.csv)
+    if not isinstance(results.get("ogden3d_composite_solve_10steps_s"), str) or \
+       not isinstance(results.get("ogden3d_tet_p2_solve_10steps_s"), str):
+        results["ogden3d_ref_1rank_s"] = 18.5
+        results["ogden3d_ref_8rank_s"] = 5.46
+
+    # headline fallback: the driver's parser must always find the triplet
+    out = {
+        "metric": "j2_return_map_gauss_point_updates_per_s",
+        "value": results.pop("value", 0.0),
+        "unit": results.pop("unit", "GP/s"),
+        "vs_baseline": results.pop("vs_baseline", 0.0),
+    }
+    results.pop("metric", None)
+    out.update(results)
+    if phase_log:
+        out["phase_log"] = phase_log
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        name = sys.argv[sys.argv.index("--phase") + 1]
+        budget = float(sys.argv[sys.argv.index("--budget") + 1]) \
+            if "--budget" in sys.argv else 600.0
+        {"headline": phase_headline,
+         "fused_step": phase_fused_step,
+         "kernels": phase_kernels}[name](budget)
+    else:
+        main()

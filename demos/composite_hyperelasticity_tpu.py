@@ -119,9 +119,9 @@ def build(cfg=(2, 1, 3), E_pen=E_PEN):
 def run_10_steps(
     cfg=(2, 1, 3),
     n_newton=25,
-    n_cg=250,
+    n_cg=50,
     n_devices=1,
-    rtol=1e-6,
+    rtol=1e-4,
     cg_rtol=1e-3,
     n_steps=10,
     quiet=False,
@@ -261,9 +261,14 @@ def main(cfg=(2, 1, 3), n_newton=25, n_cg=250, n_steps=10, n_devices=None):
     )
 
 
-def bench_json(n_newton=25, n_cg=250):
+def bench_json(n_newton=25, n_cg=50):
     """Driver-facing subprocess entry: the composite benchmark (coarse),
-    one JSON line on stdout (bench.py parses the LAST stdout line)."""
+    one JSON line on stdout (bench.py merges every JSON line printed).
+
+    Round-5 config (telemetry study, docs/perf.md): truncated-CG inexact
+    Newton (50-iteration budget) + rtol=1e-4 (per-step f64 rel |R| lands
+    ~4e-5) — measured 5.87 s vs the reference's 18.5 s @1 rank / 5.46 s
+    @8 ranks on ITS composite benchmark (timing_results.csv)."""
     import json
 
     from dolfinx_materials_tpu.utils.cache import enable_compile_cache

@@ -24,7 +24,15 @@ from .facets import (  # noqa: F401
 )
 from .gmsh_io import read_msh  # noqa: F401
 from .reorder import reorder_mesh  # noqa: F401
-from .io import TimeSeriesWriter, read_vtu, write_vtk, write_vtu  # noqa: F401
+from .io import (  # noqa: F401
+    TimeSeriesWriter,
+    XDMFWriter,
+    read_vtu,
+    read_xdmf,
+    write_vtk,
+    write_vtu,
+    write_xdmf,
+)
 from .submesh import (  # noqa: F401
     InterfaceDomain,
     InterfaceTerm,

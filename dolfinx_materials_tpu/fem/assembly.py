@@ -532,10 +532,16 @@ def assemble_scalar(domain: QuadratureDomain, values_q):
     return jnp.sum(domain.wdetJ * v)
 
 
-def project_cg(domain: QuadratureDomain, values_q, degree=1):
+def project_cg(domain: QuadratureDomain, values_q, degree=1, smooth=None):
     """L2-project a quadrature field onto a continuous Lagrange space on the
     same mesh: mass-matrix CG solve, all on device (the reference's
-    ``utils.project`` role, utils.py:19-68). Returns (space, dof array (nnodes, k))."""
+    ``utils.project`` role, utils.py:19-68). Returns (space, dof array (nnodes, k)).
+
+    ``smooth``: optional Helmholtz filter length — adds
+    ``smooth**2 * ∫ grad(Pv).grad(w) dx`` to the projection operator exactly
+    as the reference's ``project(..., smooth=...)`` does (utils.py:51-53),
+    damping sub-``smooth``-scale oscillations of the raw quadrature field
+    (checkerboard stress modes on coarse meshes)."""
     from .space import FunctionSpace
 
     mesh = domain.space.mesh
@@ -546,6 +552,10 @@ def project_cg(domain: QuadratureDomain, values_q, degree=1):
 
     # element mass and rhs
     Me = jnp.einsum("eq,qi,qj->eij", tdom.wdetJ, tdom.N, tdom.N)
+    if smooth is not None:
+        Me = Me + float(smooth) ** 2 * jnp.einsum(
+            "eq,eqid,eqjd->eij", tdom.wdetJ, tdom.dNdx, tdom.dNdx
+        )
     rhs_e = jnp.einsum("eq,qi,eqc->eic", tdom.wdetJ, tdom.N, vals)
     ndofs = target.num_dofs
     dm = tdom.dofmap

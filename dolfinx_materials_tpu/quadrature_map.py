@@ -182,11 +182,14 @@ class QuadratureMap:
         self.material.data_manager.s1[field] = value
 
     # ---------------------------------------------------------- postprocessing
-    def project_on(self, name: str, kind=("DG", 0)):
+    def project_on(self, name: str, kind=("DG", 0), smooth=None):
         """Project a quadrature state field (reference :362-401):
         ``("DG", 0)`` -> cell averages (ne, k);
         ``("P"|"CG", deg)`` -> continuous Lagrange L2 projection, returning
-        ``(FunctionSpace, dof values (nnodes, k))``.
+        ``(FunctionSpace, dof values (nnodes, k))``. ``smooth`` (CG only)
+        applies the reference's Helmholtz filter of that length
+        (utils.py:51-53): the projection operator gains
+        ``smooth**2 ∫ grad(Pv).grad(w) dx``.
 
         Prefix collection (reference quadrature_map.py:377-387): if ``name``
         is not an exact field, all fields starting with ``name`` are
@@ -215,5 +218,5 @@ class QuadratureMap:
         if kind[0] in ("P", "CG", "Lagrange"):
             from .fem.assembly import project_cg
 
-            return project_cg(self.domain, vals, degree=kind[1])
+            return project_cg(self.domain, vals, degree=kind[1], smooth=smooth)
         raise NotImplementedError(kind)
