@@ -111,718 +111,60 @@ def make_sharded_newton_step(
     cg_rtol=1e-8,
     smoother=None,
 ):
-    """Build a fully-fused, sharded Newton load step for a single-material
-    mechanics problem (one registered gradient, default flux.dgrad residual).
+    """Fully-fused, sharded Newton load step for a SINGLE-MATERIAL mechanics
+    problem (one registered gradient, flux.dgrad residual) — since round 5 a
+    thin configuration of :func:`make_sharded_newton_step_general` (VERDICT r4
+    item 3: the specialized builder duplicated the general one's gather /
+    assembly / CG / line-search machinery; A/B on the benched 64x64 J2 plate
+    showed the general step matching its solution to 5e-7 at LOWER wall time,
+    tools/_ab_consolidation.py).
 
     Returns ``step(u, internal_state, bc_mask, bc_vals, dt) ->
     (u_new, new_internal_state (trimmed to real points), res_norm)`` —
-    jittable, runs entirely on device, cells sharded over ``mesh``.
-
-    Robustness (VERDICT r1 item 6): the Newton loop is an early-exiting
-    ``lax.while_loop`` — it stops as soon as |R| <= rtol*|R0| + atol instead of
-    burning (and possibly destabilizing on) fixed leftover iterations; each
-    iteration backtracks on the flux-only residual. Handles the sharp-Voce
-    flagship material (tests/test_sharding.py). The inner CG early-exits the
-    same way: ``n_cg`` is a budget, and iterations stop once the
-    preconditioned residual drops ``cg_rtol`` relative to its entering value
-    — late Newton iterations (whose entering u is already close) then cost a
-    handful of matvecs instead of the full budget. The default 1e-8 is at
-    the f32 floor, i.e. pure savings with no accuracy change; raise it
-    (1e-3..1e-2) for inexact-Newton configurations.
-
-    Multi-host readiness: ``axis`` may be a TUPLE of mesh axes (e.g.
-    ``("dcn", "ici")`` from ``device_mesh((n_hosts, n_chips), ...)``) — cells
-    shard over the full device grid and every collective (all_gather /
-    psum_scatter / psum) names both axes, which XLA lowers hierarchically so
-    the wide dof traffic rides ICI within a host-group and only the reduced
-    stage crosses DCN. Validated on a virtual 2 x 4 mesh (tests/test_sharding.py).
-
-    Preconditioning: ``pc="two_level"`` (default) adds a FROZEN two-level
-    correction to the Jacobi-CG — the coarse operator P^T K(u0) P over
-    ``pc_boxes``-per-axis node boxes is assembled and dense-INVERTED once per
-    step from the entering tangent (triangular LU solves are sequential
-    ~ms-latency ops on TPU; the per-iteration coarse apply must be one small
-    matmul). On structured grids the restriction/prolongation are pure
-    reshape-reduces (no gathers); on UNSTRUCTURED meshes the coarse space is
-    built from coordinate-box node aggregates (the host solver's
-    ``_node_aggregates`` scheme) with a segment-sum restriction and a
-    table-gather prolongation — (ndofs,)-sized scalar ops once per CG
-    iteration, negligible next to the matvec. Cuts the CG iterations needed
-    for stiff/elongated meshes by ~5x at BETTER residuals (docs/perf.md), and
-    on stiff 3D unstructured tangents (near-incompressible Ogden, K/mu ~2500,
-    P2 tets) it is the difference between converging and not;
-    ``pc="jacobi"`` restores the plain smoother. Under ``shard_dofs`` the
-    structured coarse restriction is gather-free: the local slice is
-    box-reduced in place and only the (ncoarse,) partial sums are psummed.
-
-    Scaling (VERDICT r1 item 9): with ``shard_dofs=True`` the dof vectors
-    (u, R, CG workspace, bc arrays) are SHARDED over the mesh axis instead of
-    replicated: per-matvec traffic is one ``all_gather`` (transient full
-    vector for the cell gather) + one ``psum_scatter`` (assembled shard), the
-    standard sequence-parallel pattern riding ICI. Persistent per-device dof
-    memory drops from O(ndofs) to O(ndofs / n_devices). CAVEAT: on structured
-    meshes the stencil fast path materializes full-grid (ne_pad, ndof_el)
-    element transients on every device inside the gather/scatter, so the
-    TRANSIENT footprint stays O(ne) per device even with ``shard_dofs=True``
-    (persistent state is still sharded); pass ``use_stencil=False`` to force
-    the sharded dofmap-gather path when that transient is the binding memory
-    constraint.
+    jittable, runs entirely on device, cells sharded over ``mesh``; plus the
+    single-state ``pad_state``. ``axis`` may be a tuple of mesh axes (e.g.
+    ``("dcn", "ici")``) for hierarchical multi-host collectives, and
+    ``shard_dofs=True`` shards the dof vectors (u, R, CG workspace) over the
+    same axis. See the general builder's docstring for the solver-loop,
+    preconditioner and sharding semantics (identical by construction);
+    capability contract mirrors reference solvers.py:31-96 +
+    quadrature_map.py:297-334.
     """
-    dom = qmap.domain
-    material = qmap.material
-    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
-    ndev = _axis_size(mesh, axis)
-    gname = material.gradient_names[0]
-    fname = material.flux_names[0]
-    expr = qmap.gradient_exprs[gname]
-    point_update = material._point_update
-    behavior = material.behavior
-    if rtol is None:
-        import jax.numpy as _jnp
-
-        rtol = 1e-10 if float(_jnp.finfo(_jnp.zeros(0).dtype).eps) < 1e-9 else 1e-6
-
-    def point_flux(x, state, dt):
-        """Flux-only evaluation (no tangent) for line-search residual trials."""
-        flux_dict, new_state = behavior.constitutive_update({gname: x}, state, dt)
-        return flux_dict[fname], new_state
-
-    nloc, ncomp, nq = dom.nloc, dom.ncomp, dom.nq
-    N_tab = dom.N
-    ndofs = qmap.space.num_dofs
-    # pad sharded dof vectors to a multiple of ndev*ncomp so a node's dof
-    # BLOCK never straddles a shard boundary (the node-block smoother
-    # applies (ncomp, ncomp) inverses per node on the local slice)
-    nd_p = ndofs + ((-ndofs) % (ndev * ncomp)) if shard_dofs else ndofs
-    # smoother: node-block Jacobi by default on 3D VECTOR problems only —
-    # it couples the per-node components the scalar diagonal ignores and
-    # measurably improves CG rates on near-incompressible 3D tangents, but
-    # on 2D compressible plates it matches Jacobi's quality at +33% step
-    # cost (measured on the benched 64x64 J2 plate: 52.6 -> 69.7 ms for an
-    # identical residual). smoother="block"/"jacobi" overrides either way.
-    if smoother not in (None, "jacobi", "block"):
+    terms = getattr(problem, "_terms", None)
+    if not terms or len(terms) != 1 or terms[0]["qmap"] is not qmap:
         raise ValueError(
-            f"smoother must be None, 'jacobi' or 'block', got {smoother!r}"
+            "make_sharded_newton_step expects `problem` built on exactly the "
+            "given single `qmap`; use make_sharded_newton_step_general for "
+            "multi-material / multi-term problems"
         )
-    use_block_smoother = (
-        smoother or ("block" if ncomp >= 3 else "jacobi")
-    ) == "block" and ncomp > 1
-
-    # --- stencil fast path (structured P1 grids) -------------------------
-    # per-CG-matvec dof gathers/scatter-adds are TPU scalar ops ~300x off the
-    # memory roofline (docs/perf.md "Assembly-free SpMV"). On structured grids
-    # every device instead runs the FULL-grid shifted-slice gather/scatter
-    # (redundant across shards but memory-speed) while the expensive
-    # per-element work stays sharded. None -> general dofmap path (gmsh).
-    stencil = getattr(dom, "_stencil", None) if use_stencil else None
-    # banded lane-gather engine on UNSTRUCTURED meshes (same redundant-full
-    # pattern as the stencil path: every device runs the full banded
-    # gather/assembly at memory speed, the per-element work stays sharded) —
-    # ops/banded_gather.py; dispatches to the XLA oracle off-TPU
-    banded = (
-        dom
-        if (use_banded and stencil is None and getattr(dom, "_banded", None))
-        else None
+    gstep, pad_states = make_sharded_newton_step_general(
+        problem,
+        mesh,
+        axis=axis,
+        n_newton=n_newton,
+        n_cg=n_cg,
+        n_backtracks=n_backtracks,
+        rtol=rtol,
+        atol=atol,
+        shard_dofs=shard_dofs,
+        cg_rtol=cg_rtol,
+        use_stencil=use_stencil,
+        use_banded=use_banded,
+        pc=pc,
+        pc_boxes=pc_boxes,
+        smoother=smoother,
     )
-
-    # --- shard-ready (padded) tables -------------------------------------
-    dNdx, ne_real = pad_to_multiple(np.asarray(dom.dNdx), ndev)
-    wdetJ, _ = pad_to_multiple(np.asarray(dom.wdetJ), ndev)  # padded cells: w=0
-    x_q, _ = pad_to_multiple(np.asarray(dom.x_q), ndev)
-    dofmap, _ = pad_to_multiple(np.asarray(dom.dofmap), ndev)  # pad -> dof 0, w=0 ok
-    tables = (jnp.asarray(dNdx), jnp.asarray(wdetJ), jnp.asarray(x_q),
-              jnp.asarray(dofmap))  # + cdof table appended after coarse setup
-
-    init_tpl = behavior.init_state()  # per-point template pytree
 
     def pad_state(state):
-        """Pad the point axis to a shard multiple with the behavior's
-        INIT-STATE values, not zeros: identity-initialized ISVs (FeFp
-        be/F_prev) would otherwise make padded points compute inv33(0) ->
-        inf, and 0 * inf = NaN survives the zero-weight masking of padded
-        cells, poisoning the residual norm."""
-
-        def pad_leaf(a, tpl):
-            a = jnp.asarray(a)
-            pad = (-a.shape[0]) % (ndev * nq)
-            if pad == 0:
-                return a
-            fill = jnp.broadcast_to(
-                jnp.asarray(tpl, a.dtype), (pad,) + a.shape[1:]
-            )
-            return jnp.concatenate([a, fill])
-
-        return jax.tree.map(pad_leaf, state, init_tpl)
-
-    from ..fem.forms import Ctx
-
-    def cell_eval(ue, d, x):
-        un = ue.reshape(nloc, ncomp)
-        u_q = N_tab @ un
-        g_q = jnp.einsum("qvi,vc->qci", d, un)
-        return jax.vmap(lambda u_, g_, x_: expr(Ctx(u_, g_, x_)))(u_q, g_q, x)
-
-    fast_update = material._fast_update  # whole-batch fast path (J2 analytic,
-    fast_flux = material._fast_flux      # FeFp/crystal feature-major) or None
-
-    def local_kernels(u_e, dNdx_l, wdetJ_l, x_q_l, state_l, dt):
-        """Per-device: material update + element residual/matrices on local
-        cells — through the behavior's whole-batch fast path when it has one
-        (the same dispatch Material.integrate uses)."""
-        grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)  # (ne_l, nq, size)
-        gsize = grads.shape[-1]
-        x_flat = grads.reshape(-1, gsize)
-        if fast_update is not None:
-            flux, Ct, new_state = fast_update(x_flat, state_l, dt)
-            Ct = Ct.reshape(x_flat.shape[0], gsize, gsize)
-        else:
-            flux, Ct, new_state = jax.vmap(
-                lambda xi, si: point_update(xi, {}, si, dt)
-            )(x_flat, state_l)
-        ne_l = u_e.shape[0]
-        flux_e = flux.reshape(ne_l, nq, -1)
-        C_e = Ct.reshape(ne_l, nq, gsize, gsize)
-
-        def cell_r(ue, d, x, w, fl):
-            def work(w_):
-                g = cell_eval(w_, d, x)
-                return jnp.sum(w[:, None] * g * fl)
-
-            return jax.grad(work)(ue)
-
-        r_e = jax.vmap(cell_r)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e)
-
-        def cell_K(ue, d, x, w, fl, C):
-            B = jax.jacfwd(lambda w_: cell_eval(w_, d, x))(ue)
-            K = jnp.einsum("qai,qab,qbj,q->ij", B, C, B, w)
-
-            def work(w_):
-                g = cell_eval(w_, d, x)
-                return jnp.sum(w[:, None] * g * fl)
-
-            return K + jax.hessian(work)(ue)
-
-        K_e = jax.vmap(cell_K)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e, C_e)
-        return r_e, K_e, new_state
-
-    ne_pad = dNdx.shape[0]
-    ne_local = ne_pad // ndev
-    ne_cells = dom.ne
-    ndof_el = nloc * ncomp
-    if stencil is not None:
-        corners = (
-            dom._CORNERS_2D if len(stencil) == 2 else dom._CORNERS_3D
-        )
-        grid_shape = tuple(g + 1 for g in stencil) + (ncomp,)
-
-    def shard_index():
-        if isinstance(axis, tuple):
-            s = jax.lax.axis_index(axis[0])
-            for a in axis[1:]:
-                s = s * mesh.shape[a] + jax.lax.axis_index(a)
-            return s
-        return jax.lax.axis_index(axis)
-
-    def stencil_gather_local(u_full):
-        """(ndofs,) -> this shard's (ne_local, ndof_el) element dofs via
-        full-grid shifted slices + one dynamic slice."""
-        u2 = u_full[:ndofs].reshape(grid_shape)
-        if len(stencil) == 2:
-            nx, ny = stencil
-            parts = [
-                u2[di : di + nx, dj : dj + ny].reshape(ne_cells, ncomp)
-                for (di, dj) in corners
-            ]
-        else:
-            nx, ny, nz = stencil
-            parts = [
-                u2[di : di + nx, dj : dj + ny, dk : dk + nz].reshape(
-                    ne_cells, ncomp
-                )
-                for (di, dj, dk) in corners
-            ]
-        ue = jnp.concatenate(parts, axis=1)  # (ne_cells, ndof_el)
-        if ne_pad != ne_cells:
-            ue = jnp.concatenate(
-                [ue, jnp.zeros((ne_pad - ne_cells, ndof_el), ue.dtype)]
-            )
-        return jax.lax.dynamic_slice_in_dim(
-            ue, (shard_index() * ne_local).astype(jnp.int32), ne_local
-        )
-
-    def stencil_scatter_partial(vals_e, dtype):
-        """This shard's (ne_local, ndof_el) element values -> its PARTIAL
-        (ndofs,) assembled vector via slice-adds (caller psums)."""
-        all_vals = jnp.zeros((ne_pad, ndof_el), dtype)
-        start = (shard_index() * ne_local).astype(jnp.int32)
-        all_vals = jax.lax.dynamic_update_slice(
-            all_vals, vals_e.astype(dtype), (start, jnp.int32(0))
-        )
-        v = all_vals[:ne_cells].reshape(
-            (ne_cells, nloc, ncomp)
-        )
-        y = jnp.zeros(grid_shape, dtype)
-        if len(stencil) == 2:
-            nx, ny = stencil
-            vv = v.reshape(nx, ny, nloc, ncomp)
-            for k, (di, dj) in enumerate(corners):
-                y = y.at[di : di + nx, dj : dj + ny].add(vv[:, :, k])
-        else:
-            nx, ny, nz = stencil
-            vv = v.reshape(nx, ny, nz, nloc, ncomp)
-            for k, (di, dj, dk) in enumerate(corners):
-                y = y.at[di : di + nx, dj : dj + ny, dk : dk + nz].add(
-                    vv[:, :, :, k]
-                )
-        return y.reshape(-1)
-
-    # --- frozen two-level coarse space -------------------------------------
-    # structured grids: node boxes with reshape-reduce transfers (gather-free);
-    # unstructured meshes: coordinate-box node aggregates (the host solver's
-    # _node_aggregates scheme) with segment-sum restriction / table-gather
-    # prolongation — the (ndofs,)-sized scalar scatter/gather per CG iteration
-    # is ~us-scale at these sizes, and without the coarse correction the
-    # Jacobi-CG directions on stiff 3D unstructured tangents (K/mu ~ 2500)
-    # are too inexact for Newton to converge at all (P2-tet Ogden, N >= 8).
-    two_level = pc == "two_level"
-    if two_level and stencil is not None:
-        nodes_per_axis = tuple(g + 1 for g in stencil)
-        nb = tuple(min(pc_boxes, na) for na in nodes_per_axis)
-        bsz = tuple(-(-na // b) for na, b in zip(nodes_per_axis, nb))  # ceil
-        gpad = tuple(b * s - na for na, b, s in zip(nodes_per_axis, nb, bsz))
-        nagg = int(np.prod(nb))
-        ncoarse = nagg * ncomp
-        # coarse dof of every global dof (host): node (i,j[,k]) -> box
-        node_idx = np.indices(nodes_per_axis).reshape(len(stencil), -1)
-        box = 0
-        for d in range(len(stencil)):
-            box = box * nb[d] + np.minimum(node_idx[d] // bsz[d], nb[d] - 1)
-        cdof_of_dof = (
-            box[:, None] * ncomp + np.arange(ncomp)[None, :]
-        ).reshape(-1)
-        dofmap_host = np.asarray(dofmap)  # (ne_pad, ndof_el), pads -> dof 0
-        cdof_table = jnp.asarray(
-            cdof_of_dof[dofmap_host].astype(np.int32)
-        )  # (ne_pad, ndof_el)
-
-        def restrict_full(r_full):
-            """(>= ndofs,) replicated residual -> (ncoarse,) box sums —
-            reshape-reduce, no gathers."""
-            g = r_full[:ndofs].reshape(nodes_per_axis + (ncomp,))
-            g = jnp.pad(g, [(0, p) for p in gpad] + [(0, 0)])
-            if len(stencil) == 2:
-                rc = g.reshape(
-                    nb[0], bsz[0], nb[1], bsz[1], ncomp
-                ).sum(axis=(1, 3))
-            else:
-                rc = g.reshape(
-                    nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp
-                ).sum(axis=(1, 3, 5))
-            return rc.reshape(-1)
-
-        def prolong_full(wc):
-            """(ncoarse,) -> (ndofs,) piecewise-constant prolongation."""
-            if len(stencil) == 2:
-                g = jnp.broadcast_to(
-                    wc.reshape(nb[0], 1, nb[1], 1, ncomp),
-                    (nb[0], bsz[0], nb[1], bsz[1], ncomp),
-                ).reshape(nb[0] * bsz[0], nb[1] * bsz[1], ncomp)
-                g = g[: nodes_per_axis[0], : nodes_per_axis[1]]
-            else:
-                g = jnp.broadcast_to(
-                    wc.reshape(nb[0], 1, nb[1], 1, nb[2], 1, ncomp),
-                    (nb[0], bsz[0], nb[1], bsz[1], nb[2], bsz[2], ncomp),
-                ).reshape(
-                    nb[0] * bsz[0], nb[1] * bsz[1], nb[2] * bsz[2], ncomp
-                )
-                g = g[
-                    : nodes_per_axis[0], : nodes_per_axis[1],
-                    : nodes_per_axis[2],
-                ]
-            return g.reshape(-1)
-
-    elif two_level:
-        # UNSTRUCTURED meshes: coordinate-box node aggregates (the host
-        # solver's _node_aggregates scheme, solvers.py). Restriction is a
-        # segment-sum over the dof -> aggregate map and prolongation a gather
-        # from the (ncoarse,) coarse vector — (ndofs,)-sized scalar ops once
-        # per CG iteration, negligible next to the matvec.
-        ncoarse, cdof_of_dof = _coord_agg_cdofs(qmap.space, pc_boxes)
-        cdof_ids = jnp.asarray(cdof_of_dof.astype(np.int32))
-        dofmap_host = np.asarray(dofmap)  # pads -> dof 0 (zero K_e rows)
-        cdof_table = jnp.asarray(cdof_of_dof[dofmap_host].astype(np.int32))
-
-        def restrict_full(r_full):
-            return jax.ops.segment_sum(
-                r_full[:ndofs], cdof_ids, num_segments=ncoarse
-            )
-
-        def prolong_full(wc):
-            return wc[cdof_ids]
-
-    else:
-        ncoarse = 1
-        cdof_table = jnp.zeros_like(jnp.asarray(dofmap))
-
-    tables = tables + (cdof_table,)
-
-    u_spec = P(axis) if shard_dofs else P()
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(u_spec, P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  u_spec, u_spec, P()),
-        out_specs=(u_spec, P(axis), P()),
-        # pallas_call (banded engine) inside shard_map cannot annotate its
-        # outputs' varying-across-mesh state; skip the check (the collectives
-        # here are explicit psums/all_gathers, validated by equivalence tests)
-        check_vma=False,
-    )
-    def _step(u, dNdx_l, wdetJ_l, x_q_l, dofmap_l, cdof_l, state_l, bc_mask,
-              bc_vals, dt):
-        # --- dof-layout helpers ------------------------------------------
-        def gather_cells(u_full):
-            """Full dof vector -> this shard's (ne_l, ndof_el) element dofs:
-            shifted-slice stencil on structured grids, banded lane-gather on
-            unstructured meshes, dofmap gather as the last resort (scalar
-            gathers, ~300x off roofline — docs/perf.md)."""
-            if stencil is not None:
-                return stencil_gather_local(u_full)
-            if banded is not None:
-                ue = banded._banded_take("cell", u_full[:ndofs]).reshape(
-                    ne_cells, ndof_el
-                )
-                if ne_pad != ne_cells:
-                    ue = jnp.concatenate(
-                        [ue, jnp.zeros((ne_pad - ne_cells, ndof_el), ue.dtype)]
-                    )
-                return jax.lax.dynamic_slice_in_dim(
-                    ue, (shard_index() * ne_local).astype(jnp.int32), ne_local
-                )
-            return u_full[dofmap_l]
-
-        def partial_assemble(vals_e, dtype, size):
-            if stencil is not None:
-                part = stencil_scatter_partial(vals_e, dtype)
-                if size != ndofs:
-                    part = jnp.concatenate(
-                        [part, jnp.zeros(size - ndofs, dtype)]
-                    )
-                return part
-            if banded is not None:
-                all_vals = jax.lax.dynamic_update_slice(
-                    jnp.zeros((ne_pad, ndof_el), dtype),
-                    vals_e.astype(dtype),
-                    ((shard_index() * ne_local).astype(jnp.int32), jnp.int32(0)),
-                )
-                part = banded._banded_take(
-                    "asm", all_vals[:ne_cells].T.reshape(-1)
-                ).astype(dtype)
-                if size != ndofs:
-                    part = jnp.concatenate(
-                        [part, jnp.zeros(size - ndofs, dtype)]
-                    )
-                return part
-            return jnp.zeros(size, dtype).at[dofmap_l.ravel()].add(vals_e.ravel())
-
-        if shard_dofs:
-            def gather_full(v):
-                return jax.lax.all_gather(v, axis, axis=0, tiled=True)
-
-            def assemble(vals_e, dtype):
-                return jax.lax.psum_scatter(
-                    partial_assemble(vals_e, dtype, nd_p),
-                    axis,
-                    scatter_dimension=0,
-                    tiled=True,
-                )
-
-            def vdot(a, b):
-                return jax.lax.psum(jnp.vdot(a, b), axis)
-        else:
-            def gather_full(v):
-                return v
-
-            def assemble(vals_e, dtype):
-                return jax.lax.psum(partial_assemble(vals_e, dtype, ndofs), axis)
-
-            def vdot(a, b):
-                return jnp.vdot(a, b)
-
-        def norm(v):
-            return jnp.sqrt(vdot(v, v))
-
-        u = jnp.where(bc_mask, bc_vals, u)
-
-        # --- frozen two-level coarse factor from the ENTERING tangent -----
-        # (built from the SAME K_e the first Newton update uses — see the
-        # build_coarse call after the initial evaluate below; no extra
-        # tangent assembly)
-        def build_coarse(K_e0):
-            w_l = jnp.where(
-                gather_full(bc_mask.astype(K_e0.dtype))[dofmap_l] > 0.5, 0.0, 1.0
-            )
-            Kw = K_e0 * w_l[:, :, None] * w_l[:, None, :]
-            idx = (
-                cdof_l[:, :, None] * ncoarse + cdof_l[:, None, :]
-            ).ravel()
-            Ac = jax.lax.psum(
-                jnp.zeros(ncoarse * ncoarse, K_e0.dtype)
-                .at[idx]
-                .add(Kw.ravel()),
-                axis,
-            ).reshape(ncoarse, ncoarse)
-            dAc = jnp.diagonal(Ac)
-            ridge = 1e-8 * jnp.max(jnp.abs(dAc)) + 1e-30
-            Ac = Ac + (
-                ridge + jnp.where(jnp.abs(dAc) < ridge, 1.0, 0.0)
-            ) * jnp.eye(ncoarse, dtype=K_e0.dtype)
-            # dense INVERSE, not an LU factor: triangular solves are
-            # sequential (~ms latency each on TPU); the coarse apply must be
-            # one (ncoarse, ncoarse) matmul per CG iteration
-            return jnp.linalg.inv(Ac)
-
-        if two_level:
-            def shard_back(full):
-                if shard_dofs:
-                    if nd_p != ndofs:
-                        full = jnp.concatenate(
-                            [full, jnp.zeros(nd_p - ndofs, full.dtype)]
-                        )
-                    loc = nd_p // ndev
-                    return jax.lax.dynamic_slice_in_dim(
-                        full, (shard_index() * loc).astype(jnp.int32), loc
-                    )
-                return full
-
-            def make_coarse_correct(Ac_inv):
-                def coarse_correct(r):
-                    r0 = jnp.where(bc_mask, 0.0, r)
-                    if shard_dofs:
-                        # gather-free restriction: embed the local slice into
-                        # a zero grid (dynamic_update_slice, memory-speed),
-                        # box-reduce, then psum only the tiny (ncoarse,)
-                        # vector — no full-vector collective
-                        loc = nd_p // ndev
-                        start = (shard_index() * loc).astype(jnp.int32)
-                        emb = jax.lax.dynamic_update_slice(
-                            jnp.zeros(nd_p, r.dtype), r0, (start,)
-                        )
-                        rc = jax.lax.psum(restrict_full(emb), axis)
-                    else:
-                        rc = restrict_full(r0)
-                    wc = Ac_inv @ rc
-                    corr = shard_back(prolong_full(wc))
-                    return jnp.where(bc_mask, 0.0, corr)
-
-                return coarse_correct
-        else:
-            def make_coarse_correct(_):
-                return jnp.zeros_like
-
-        def residual_norm(u_try):
-            """Flux-only residual norm (line-search trials; no tangent work)."""
-            u_e = gather_cells(gather_full(u_try))
-            grads = jax.vmap(cell_eval)(u_e, dNdx_l, x_q_l)
-            x_flat = grads.reshape(-1, grads.shape[-1])
-            if fast_flux is not None:
-                flux, _ = fast_flux(x_flat, state_l, dt)
-            elif fast_update is not None:
-                flux, _, _ = fast_update(x_flat, state_l, dt)
-            else:
-                flux, _ = jax.vmap(lambda xi, si: point_flux(xi, si, dt))(
-                    x_flat, state_l
-                )
-            flux_e = flux.reshape(u_e.shape[0], nq, -1)
-
-            def cell_r(ue, d, x, w, fl):
-                def work(w_):
-                    g = cell_eval(w_, d, x)
-                    return jnp.sum(w[:, None] * g * fl)
-
-                return jax.grad(work)(ue)
-
-            r_e = jax.vmap(cell_r)(u_e, dNdx_l, x_q_l, wdetJ_l, flux_e)
-            r = jnp.where(bc_mask, 0.0, assemble(r_e, u_try.dtype))
-            return norm(r)
-
-        def newton_update(u, R, K_e, res_norm):
-            """One CG solve + backtracking line-search update."""
-            if use_block_smoother:
-                # NODE-BLOCK Jacobi: assemble the (ncomp, ncomp) diagonal
-                # block of every node (couples the components the scalar
-                # diagonal ignores — on vector elasticity, and especially
-                # near-incompressible tangents, markedly better CG rates).
-                # Column b of each node block rides the SAME scalar assembly
-                # engine: element values v[e, j] = K_e[e, j, node(j)*ncomp+b]
-                # assemble to D_b with D_b[node*ncomp + a] = B[node][a, b].
-                jj = np.arange(ndof_el)
-                node_col0 = jnp.asarray((jj // ncomp) * ncomp)
-                cols = [
-                    assemble(K_e[:, jj, node_col0 + b], u.dtype)
-                    for b in range(ncomp)
-                ]
-                Bm = jnp.stack(cols, axis=-1).reshape(-1, ncomp, ncomp)
-                # Dirichlet (and pad) rows/cols -> identity
-                mb = bc_mask.reshape(-1, ncomp).astype(u.dtype)
-                keep = 1.0 - mb
-                Bm = Bm * keep[:, :, None] * keep[:, None, :]
-                eye = jnp.eye(ncomp, dtype=u.dtype)
-                Bm = Bm + eye * mb[:, :, None]
-                # all-zero blocks (unreferenced dofs) -> identity ridge
-                tr = jnp.einsum("naa->n", jnp.abs(Bm))
-                Bm = Bm + eye * jnp.where(
-                    tr < 1e-30, 1.0, 1e-14 * tr
-                )[:, None, None]
-                Binv = _sym_block_inv(Bm, eye)
-
-                def smooth(r):
-                    return jnp.einsum(
-                        "nab,nb->na", Binv, r.reshape(-1, ncomp)
-                    ).reshape(-1)
-
-            else:
-                diag = assemble(
-                    jnp.diagonal(K_e, axis1=1, axis2=2), u.dtype
-                )
-                diag = jnp.where(
-                    bc_mask | (jnp.abs(diag) < 1e-30), 1.0, diag
-                )
-
-                def smooth(r):
-                    return r / diag
-
-            def Av(v):
-                v0 = jnp.where(bc_mask, 0.0, v)
-                y_e = jnp.einsum(
-                    "eij,ej->ei", K_e, gather_cells(gather_full(v0))
-                )
-                y = assemble(y_e, v.dtype)
-                return jnp.where(bc_mask, v, y)
-
-            b = jnp.where(bc_mask, 0.0, -R)
-            x0 = jnp.zeros_like(b)
-            r0 = b
-            z0 = smooth(r0) + coarse_correct(r0)
-            p0 = z0
-
-            def cg_body(cg):
-                x, r, z, p, rz, k = cg
-                Ap = Av(p)
-                denom = vdot(p, Ap)
-                alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
-                x = x + alpha * p
-                r = r - alpha * Ap
-                z = smooth(r) + coarse_correct(r)
-                rz_new = vdot(r, z)
-                beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
-                p = z + beta * p
-                return (x, r, z, p, rz_new, k + 1)
-
-            # early-exiting CG: n_cg is a BUDGET, not a fixed trip count —
-            # iterations stop once the preconditioned residual norm-squared
-            # drops below (cg_rtol^2)*initial (late Newton iterations whose
-            # entering direction is already good then cost a handful of
-            # matvecs instead of the full budget)
-            rz0 = vdot(r0, z0)
-            cg_tol2 = (cg_rtol * cg_rtol) * jnp.abs(rz0)
-
-            def cg_cond(cg):
-                *_, rz, k = cg
-                return jnp.logical_and(k < n_cg, jnp.abs(rz) > cg_tol2)
-
-            du, *_ = jax.lax.while_loop(
-                cg_cond, cg_body, (x0, r0, z0, p0, rz0, 0)
-            )
-
-            # backtracking line search (Armijo on |R|) — while_loop
-            def ls_cond(c):
-                alpha, n_try, k = c
-                bad = jnp.logical_or(
-                    ~jnp.isfinite(n_try), n_try >= (1 - 1e-4 * alpha) * res_norm
-                )
-                return jnp.logical_and(bad, k < n_backtracks)
-
-            def ls_body(c):
-                alpha, _, k = c
-                alpha = alpha * 0.5
-                return (alpha, residual_norm(u + alpha * du), k + 1)
-
-            n1 = residual_norm(u + du)
-            alpha, n_fin, _ = jax.lax.while_loop(ls_cond, ls_body, (1.0, n1, 0))
-            # if even the smallest step is worse, keep u (stagnation guard)
-            take = jnp.isfinite(n_fin) & (n_fin < res_norm)
-            return jnp.where(take, u + alpha * du, u)
-
-        def evaluate(u_):
-            r_e, K_e, st = local_kernels(
-                gather_cells(gather_full(u_)), dNdx_l, wdetJ_l, x_q_l,
-                state_l, dt,
-            )
-            R = jnp.where(bc_mask, 0.0, assemble(r_e, u_.dtype))
-            return R, K_e, st
-
-        # ONE evaluation at the entering u feeds the coarse setup, the first
-        # Newton update, AND the already-converged exit: the carry holds
-        # (R, K_e, state) so nothing is assembled twice per iteration and no
-        # extra exit evaluation is needed (state always matches u)
-        R, K_e, st_out = evaluate(u)
-        res = norm(R)
-        res0 = jnp.maximum(res, 1e-30)
-        coarse_correct = make_coarse_correct(
-            build_coarse(K_e) if two_level else None
-        )
-
-        def newton_body(carry):
-            u, R, K_e, st, res, it = carry
-            u_new = newton_update(u, R, K_e, res)
-            R_new, K_new, st_new = evaluate(u_new)
-            return (u_new, R_new, K_new, st_new, norm(R_new), it + 1)
-
-        def newton_cond(carry):
-            _, _, _, _, res_prev, it = carry
-            return jnp.logical_and(
-                it < n_newton, res_prev > rtol * res0 + atol
-            )
-
-        u, R, K_e, st_out, res_norm, _ = jax.lax.while_loop(
-            newton_cond, newton_body, (u, R, K_e, st_out, res, 0)
-        )
-        return u, st_out, res_norm
-
-    npoints_real = ne_real * nq
-
-    def unpad_state(state):
-        """Trim padding Gauss points (cells padded to a mesh-size multiple point
-        at dof 0 and integrate garbage strains) so callers can commit the
-        returned state into a real DataManager safely."""
-        return jax.tree.map(lambda a: a[:npoints_real], state)
+        return pad_states([state])[0]
 
     def step(u, internal_state, bc_mask, bc_vals, dt=0.0):
-        state_p = pad_state(internal_state)
-        u = jnp.asarray(u)
-        bc_mask = jnp.asarray(bc_mask)
-        bc_vals = jnp.asarray(bc_vals, u.dtype)
-        if shard_dofs and nd_p != ndofs:
-            # padded dofs are pinned to 0 like Dirichlet rows
-            u = jnp.concatenate([u, jnp.zeros(nd_p - ndofs, u.dtype)])
-            bc_mask = jnp.concatenate(
-                [bc_mask, jnp.ones(nd_p - ndofs, bc_mask.dtype)]
-            )
-            bc_vals = jnp.concatenate(
-                [bc_vals, jnp.zeros(nd_p - ndofs, bc_vals.dtype)]
-            )
-        u_new, new_state, res_norm = _step(
-            u, *tables, state_p, bc_mask, bc_vals, dt,
+        u_new, new_states, res_norm = gstep(
+            u, [internal_state], bc_mask, bc_vals, dt
         )
-        return u_new[:ndofs], unpad_state(new_state), res_norm
+        return u_new, new_states[0], res_norm
 
-    step.tables = tables
-    step.ne_real = ne_real
-    step.pad_state = pad_state
-    step.unpad_state = unpad_state
-    return jax.jit(step, static_argnames=()), pad_state
+    return step, pad_state
 
 
 def make_sharded_newton_step_general(
