@@ -39,6 +39,7 @@ EXEC_MATRIX = {
          "n_devices": 2},
     ),
     "conic_return_mapping": ("main", {"n_dirs": 6}),
+    "custom_behavior": ("main", {"N": 2, "n_hold": 4}),
     "curved_cylinder": ("main", {"N": 3}),
     "finite_strain_elastoplasticity": ("main", {"N": 2}),
     "hyperelasticity": ("main", {"N": 2}),
