@@ -42,6 +42,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # phase table: (name, base timeout seconds). End-to-end rows first.
 # ---------------------------------------------------------------------------
 PHASES = [
+    ("probe", 150.0),
     ("composite", 720.0),
     ("tet_p2", 720.0),
     ("hex_p1", 420.0),
@@ -55,6 +56,7 @@ MIN_SLICE_S = 120.0
 #: the primary key each phase owns — set to "failed: ..." when the phase
 #: produced nothing, so consumers always see the row
 PRIMARY_KEY = {
+    "probe": "tunnel",
     "composite": "ogden3d_composite_solve_10steps_s",
     "tet_p2": "ogden3d_tet_p2_solve_10steps_s",
     "hex_p1": "ogden3d_solve_10steps_s",
@@ -87,6 +89,31 @@ def emit(d):
 # ---------------------------------------------------------------------------
 # phases (each runs in its own subprocess)
 # ---------------------------------------------------------------------------
+
+
+def phase_probe(budget):
+    """Tunnel-health probe: backend init + one tiny matmul with a forced
+    scalar readback. The axon tunnel has two distinct failure modes observed
+    on this box — backend init hangs (make_c_api_client never returns) and
+    ZOMBIE mode (devices() lists the chip but every dispatch stalls). A
+    10-second probe phase makes a dead-tunnel BENCH self-explaining: every
+    later timeout row is then attributable to the recorded tunnel state, not
+    to the framework."""
+    t0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    t_init = time.perf_counter()
+    dev = jax.devices()[0]
+    x = jnp.ones((512, 512), jnp.float32)
+    v = float((x @ x).sum())
+    assert v == 512.0 ** 3, v
+    emit({
+        "tunnel": "ok",
+        "tunnel_device": str(dev),
+        "tunnel_init_s": round(t_init - t0, 2),
+        "tunnel_probe_s": round(time.perf_counter() - t0, 2),
+    })
 
 
 def phase_headline(budget):
@@ -619,7 +646,8 @@ if __name__ == "__main__":
         name = sys.argv[sys.argv.index("--phase") + 1]
         budget = float(sys.argv[sys.argv.index("--budget") + 1]) \
             if "--budget" in sys.argv else 600.0
-        {"headline": phase_headline,
+        {"probe": phase_probe,
+         "headline": phase_headline,
          "fused_step": phase_fused_step,
          "kernels": phase_kernels}[name](budget)
     else:

@@ -185,6 +185,10 @@ def run_10_steps(
     t0 = time.perf_counter()
     u, rns, rn0s = run_all()
     t_first = time.perf_counter() - t0
+    # milestone JSON line: a bench phase killed during the warm rep still
+    # records that the compile + first full run finished, and in how long
+    import json as _json
+    print(_json.dumps({"composite_first_run_s": round(t_first, 2)}), flush=True)
     t0 = time.perf_counter()
     u, rns, rn0s = run_all()
     t_warm = time.perf_counter() - t0

@@ -165,6 +165,11 @@ def run_10_steps(N, n_newton=20, n_cg=150, n_devices=1,
     t0 = time.perf_counter()
     u, rns, rn0s = run_all()
     t_first = time.perf_counter() - t0
+    # milestone JSON line: a bench phase killed during the warm rep still
+    # records that the compile + first full run finished, and in how long
+    import json as _json
+    _tag = "tet_p2" if (cell_type == "tetrahedron" and degree == 2) else "hex_p1"
+    print(_json.dumps({f"{_tag}_first_run_s": round(t_first, 2)}), flush=True)
     t0 = time.perf_counter()
     u, rns, rn0s = run_all()
     t_warm = time.perf_counter() - t0
