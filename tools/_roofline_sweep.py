@@ -155,3 +155,60 @@ try:
           f"{v_of / v_o:.1f}x the flux cost", flush=True)
 except Exception as e:
     print("ogden flux failed:", type(e).__name__, str(e)[:100], flush=True)
+
+# ---------------- pure-I/O ceilings per family mix ---------------------------
+# The J2 method (docs/perf.md "Saturation analysis"): a kernel with the SAME
+# input/output array shapes but trivial arithmetic measures the achievable
+# HBM rate for that exact I/O mix — the family's memory-side ceiling. All
+# three families sit far below it (compute-bound), which is the point the
+# round-5 tables document.
+
+def pure_io_gp(n_in, n_out, n_pts, K1=2, K2=10):
+    """Chained kernel reading n_in rows and writing n_out (+n_in carry) rows
+    per iteration. The (n_out, n) block is a loop carry, so XLA must
+    materialize it to HBM every iteration (no DCE/fusion escape); per-row
+    iota scaling keeps rows distinct. Accounted traffic/iter =
+    (2*n_in + n_out) rows — slightly MORE than the family's read-n_in/
+    write-n_out mix, so the printed ceiling is conservative."""
+    x0 = jnp.ones((n_in, n_pts), jnp.float32)
+    a0 = jnp.zeros((n_out, n_pts), jnp.float32)
+    r = jnp.arange(1, n_out + 1, dtype=jnp.float32)[:, None] * 1e-6
+
+    @jax.jit
+    def loop(x, a, K):
+        def body(i, c):
+            x, a = c
+            fi = 1.0 + 1e-9 * i.astype(jnp.float32)  # iteration-dependent
+            a_new = r * (jnp.sum(x, 0) * fi)  # reads all n_in, writes n_out
+            x_new = x * (1.0 + 1e-20 * a_new[0])
+            return (x_new, a_new)
+
+        return jax.lax.fori_loop(0, K, body, (x, a))
+
+    def t(K):
+        out = loop(x0, a0, K)
+        float(jnp.sum(out[1]))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = loop(x0, a0, K)
+            float(jnp.sum(out[1]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = t(K1), t(K2)
+    return n_pts * (K2 - K1) / (t2 - t1)
+
+
+for name, n_in, n_out, n_pts in (
+    ("crystal(48in/84out)", 48, 84, 1 << 16),
+    ("fefp(25in/106out)", 25, 106, 1 << 17),
+    ("ogden(9in/90out)", 9, 90, 1 << 16),
+):
+    try:
+        v_io = pure_io_gp(n_in, n_out, n_pts)
+        gbs = v_io * (2 * n_in + n_out) * 4 / 1e9
+        print(f"pure-IO {name}: {v_io:.3e} GP/s ceiling | {gbs:.0f} GB/s",
+              flush=True)
+    except Exception as e:
+        print(f"pure-IO {name} failed:", type(e).__name__, flush=True)
