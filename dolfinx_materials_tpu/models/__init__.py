@@ -32,6 +32,10 @@ from .viscoplasticity import (  # noqa: F401
     GeneralizedStandardMaterial,
     NortonViscoplasticity,
 )
+from .viscoelasticity import (  # noqa: F401
+    GeneralizedMaxwell,
+    ZenerViscoelasticity,
+)
 from .thermal import (  # noqa: F401
     NonlinearHeatTransfer,
     PhaseChangeHeatTransfer,
