@@ -202,3 +202,106 @@ def test_demo_full_size(tmp_path, monkeypatch):
     demo = load_demo()
     *_, rel_err = demo.main()
     assert rel_err < 1e-12
+
+
+class TestThermalZenerESV:
+    """The tutorial's ESV section, made concrete: a temperature-shifted Zener
+    branch driven through QuadratureMap.register_external_state_variable with
+    per-point temperatures — hotter points must relax faster."""
+
+    def make_problem(self, T_values):
+        import dolfinx_materials_tpu.models.base as base
+        from dolfinx_materials_tpu import (
+            Material,
+            NonlinearMaterialProblem,
+            QuadratureMap,
+        )
+        from dolfinx_materials_tpu.fem import (
+            DirichletBC,
+            Function,
+            FunctionSpace,
+            create_unit_square,
+            locate_dofs_geometrical,
+        )
+        from dolfinx_materials_tpu.fem.forms import mandel_strain_2d
+        from dolfinx_materials_tpu.ops.tensors import I2 as I2j, dev, tr
+
+        class ThermalZener(base.Behavior):
+            gradients = {"Strain": 6}
+            fluxes = {"Stress": 6}
+            external_state_variables = {"Temperature": 1}
+            kappa, mu_inf, mu1 = 1.0e3, 300.0, 700.0
+            tau0, Q, T0 = 0.5, 2000.0, 293.15
+
+            def init_state(self):
+                return {"epsv": jnp.zeros(6)}
+
+            def constitutive_update(self, inputs, state, dt):
+                eps, T = inputs["Strain"], inputs["Temperature"][0]
+                # Arrhenius shift: hotter -> faster relaxation (smaller tau)
+                tau_T = self.tau0 * jnp.exp(self.Q * (1.0 / T - 1.0 / self.T0))
+                e = dev(eps)
+                a = jnp.exp(-dt / tau_T)
+                epsv = e + (state["epsv"] - e) * a
+                sig = (self.kappa * tr(eps) * I2j + 2 * self.mu_inf * e
+                       + 2 * self.mu1 * (e - epsv))
+                return {"Stress": sig}, {"epsv": epsv}
+
+        mat = Material(ThermalZener())
+        mesh = create_unit_square(2, 2, "quad")
+        V = FunctionSpace(mesh, degree=1, shape=(2,))
+        qmap = QuadratureMap(V, 2, mat)
+        qmap.register_gradient("Strain", mandel_strain_2d())
+        qmap.register_external_state_variable("Temperature", T_values)
+        onb = lambda x: (
+            np.isclose(x[:, 0], 0) | np.isclose(x[:, 0], 1)
+            | np.isclose(x[:, 1], 0) | np.isclose(x[:, 1], 1)
+        )
+        bx = locate_dofs_geometrical(V, onb, component=0)
+        by = locate_dofs_geometrical(V, onb, component=1)
+        exx = 1e-3
+        bc_x = DirichletBC(bx, exx * V.node_coords[bx // V.ncomp, 0])
+        prob = NonlinearMaterialProblem(
+            qmap, Function(V), bcs=[bc_x, DirichletBC(by, 0.0)],
+            options={"ksp_type": "lu", "atol": 1e-12, "rtol": 1e-12},
+        )
+        return prob, qmap, ThermalZener
+
+    def run_relaxation(self, T_values, n_hold=8):
+        prob, qmap, cls = self.make_problem(T_values)
+        qmap.dt = 0.0
+        conv, _ = prob.solve()
+        assert conv
+        qmap.advance()
+        qmap.dt = 0.1
+        for _ in range(n_hold):
+            conv, _ = prob.solve()
+            assert conv
+            qmap.advance()
+        return np.asarray(qmap.material.data_manager.s0["Stress"]), cls
+
+    def test_hotter_relaxes_faster(self):
+        sig_cold, _ = self.run_relaxation(293.15)
+        sig_hot, _ = self.run_relaxation(400.0)
+        # identical elastic response, faster decay of the Maxwell overstress
+        assert sig_hot[0, 0] < sig_cold[0, 0] - 1e-6
+
+    def test_per_point_temperatures_give_per_point_relaxation(self):
+        prob, qmap, cls = self.make_problem(293.15)
+        n = qmap.num_points
+        T = np.full(n, 293.15)
+        T[: n // 2] = 420.0  # first half of the Gauss points run hot
+        qmap.register_external_state_variable("Temperature", T)
+        qmap.dt = 0.0
+        conv, _ = prob.solve()
+        assert conv
+        qmap.advance()
+        qmap.dt = 0.1
+        for _ in range(6):
+            conv, _ = prob.solve()
+            assert conv
+            qmap.advance()
+        sig = np.asarray(qmap.material.data_manager.s0["Stress"])
+        # near-affine strain state: the dominant stress difference is the ESV's
+        hot, cold = sig[: n // 2, 0], sig[n // 2:, 0]
+        assert hot.max() < cold.min() - 1e-6
