@@ -37,9 +37,12 @@ def test_composite_per_step_relative_residual():
     """Every load step of the (tiny) 10-step protocol converges to
     rel |R| <= 1e-6 — the stated-accuracy bar of VERDICT r4 directive 1."""
     mod = _load()
+    # pin the accuracy-config tolerances: the demo's DEFAULTS are the bench's
+    # fast inexact-Newton config (rtol=1e-4, round 5) and must stay free to
+    # change; this test asserts the tight config still converges
     u, t_warm, (rns, rn0s), V = mod.run_10_steps(
         cfg=(1, 1, 1), n_newton=15, n_cg=150, n_devices=2, n_steps=10,
-        quiet=True,
+        rtol=1e-7, cg_rtol=1e-5, quiet=True,
     )
     rel = np.asarray(rns) / np.maximum(np.asarray(rn0s), 1e-300)
     assert (rel <= 1e-6).all(), f"per-step rel |R|: {rel}"
