@@ -514,12 +514,16 @@ def phase_kernels(budget):
 # ---------------------------------------------------------------------------
 
 
-def run_phase(name, timeout_s):
+def run_phase(name, timeout_s, cmd=None):
     """Run one phase subprocess; return the dict of every JSON line it
-    printed (partial results survive a timeout via TimeoutExpired.stdout)."""
+    printed (partial results survive a timeout via TimeoutExpired.stdout).
+    ``cmd`` overrides the phase command (tests exercise the merge/timeout
+    contract with scripted subprocesses)."""
     import subprocess
 
-    if name == "composite":
+    if cmd is not None:
+        pass
+    elif name == "composite":
         cmd = [sys.executable, os.path.join(HERE, "demos",
                                             "composite_hyperelasticity_tpu.py"),
                "--bench"]
@@ -567,20 +571,30 @@ def main():
     # 2026-08-17: jax.devices() blocked for 8+ hours). Probe it in a
     # disposable subprocess first so a dead tunnel produces a bounded,
     # parseable failure line instead of a silent driver timeout that loses
-    # every metric.
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=240, check=True, capture_output=True,
-        )
-    except Exception as e:
+    # every metric. The tunnel has also been observed to RECOVER within
+    # minutes (round-5 builder log), so a failed probe gets one more chance
+    # after a pause before the run is declared unreachable.
+    probe_err, probe_tries = None, 2
+    for attempt in range(probe_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, check=True, capture_output=True,
+            )
+            probe_err = None
+            break
+        except Exception as e:
+            probe_err = e
+            if attempt + 1 < probe_tries:
+                time.sleep(90.0)
+    if probe_err is not None:
         print(json.dumps({
             "metric": "j2_return_map_gauss_point_updates_per_s",
             "value": 0.0,
             "unit": "GP/s",
             "vs_baseline": 0.0,
             "error": "tpu_backend_unreachable_at_bench_time "
-            f"({type(e).__name__})",
+            f"({type(probe_err).__name__}, {probe_tries} probes 90s apart)",
         }))
         return
 

@@ -158,7 +158,7 @@ class TestPerzynaJ2:
         dt = 0.05
         flux, _, _ = self.mat.integrate(eps, dt=dt)
         self.mat.data_manager.update()
-        dp = float(np.asarray(self.mat.data_manager.s0["p"])[0])
+        dp = float(np.asarray(self.mat.data_manager.s0["p"]).ravel()[0])
         assert dp > 0.0
         mu = self.beh.mu
         s_tr = 2 * mu * np.asarray(dev(jnp.asarray(eps)))[0]
