@@ -42,7 +42,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # phase table: (name, base timeout seconds). End-to-end rows first.
 # ---------------------------------------------------------------------------
 PHASES = [
-    ("probe", 150.0),
+    # probe slice: the axon tunnel's backend init has been observed to take
+    # ~5.5 min while still being perfectly usable afterwards (round-5 log);
+    # a probe timeout must mean DEAD, not merely slow-to-wake
+    ("probe", 400.0),
     ("composite", 720.0),
     ("tet_p2", 720.0),
     ("hex_p1", 420.0),

@@ -93,6 +93,47 @@ def test_fefp_envelope_guard_poisons_with_nan():
     assert bool(jnp.all(jnp.isfinite(pk1_ok)))
 
 
+def test_fefp_analytic_tangent_matches_jvp_two_steps():
+    """Round-5 factored tangent (6 log-series seeds + Simo-Hughes closed form)
+    vs the rounds-2-4 9-seed jvp tangent: machine-precision agreement on a
+    mixed elastic/plastic batch, including exact F = I points and a second
+    step from a committed plastic state."""
+    n = 64
+    rng = np.random.default_rng(3)
+    beh = FeFpJ2Plasticity(
+        LinearElasticIsotropic(200e3, 0.3), VoceHardening(350.0, 500.0, 50.0)
+    )
+    assert beh.tangent_mode == "analytic"  # the default Material.integrate uses
+    st = {
+        "be": jnp.tile(jnp.asarray(tn.I2), (n, 1)),
+        "p": jnp.zeros(n),
+        "F_prev": jnp.tile(jnp.asarray(tn.I9), (n, 1)),
+    }
+    Fv = jnp.asarray(rand_Fv(rng, n, 0.02))
+    for _ in range(2):
+        pk1_j, Ct_j, st_j = beh._batched_update_jvp(Fv, st, 0.0)
+        pk1_a, Ct_a, st_a = beh._batched_update_analytic(Fv, st, 0.0)
+        sc = float(jnp.max(jnp.abs(pk1_j)))
+        np.testing.assert_allclose(pk1_a, pk1_j, atol=1e-12 * sc)
+        np.testing.assert_allclose(
+            Ct_a, Ct_j, atol=1e-12 * float(jnp.max(jnp.abs(Ct_j)))
+        )
+        for k in ("be", "p", "F_prev"):
+            np.testing.assert_allclose(st_a[k], st_j[k], atol=1e-14)
+        assert float(jnp.max(st_j["p"])) > 0  # plastic branch exercised
+        st = st_j
+        Fv = jnp.asarray(
+            np.asarray(
+                tn.mat_to_nonsym(
+                    tn.nonsym_to_mat(Fv)
+                    @ jnp.asarray(
+                        np.eye(3) + 0.015 * rng.standard_normal((n, 3, 3))
+                    )
+                )
+            )
+        )
+
+
 def test_fefp_fast_path_opt_out():
     mat = make_mat(use_batched_fast=False)
     assert mat._fast_update is None and mat._fast_flux is None
