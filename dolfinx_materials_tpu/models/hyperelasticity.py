@@ -96,12 +96,18 @@ class Ogden(HyperelasticBehavior):
         alpha=(28.8,),
         K=69444444.0,
         tangent_chunk=65536,
+        tangent_mode="c6",
     ):
         self.mu = tuple(mu)
         self.alpha = tuple(alpha)
         self.K = K
         # batched_update's flat-jvp tangent peaks at 9*chunk live points
         self.tangent_chunk = int(tangent_chunk)
+        #: "c6" (default): factored tangent through the 6-dim symmetric C
+        #: bottleneck — 6 Hessian seeds of S(C) = 2 dW/dC plus closed-form
+        #: wrap algebra (see batched_update). "f9": the rounds-1-4 path,
+        #: 9 linearize-replay seeds of dPK1/dF, kept for A/B.
+        self.tangent_mode = tangent_mode
 
     def strain_energy(self, F):
         C = F.T @ F
@@ -152,6 +158,26 @@ class Ogden(HyperelasticBehavior):
 
         F = fm.t_from_nonsym_rows(Fv)
         C = fm.t_bmm(fm.t_transpose(F), F)
+        return self._energy_from_Ct(C)
+
+    def _energy_from_C6(self, C6):
+        """Energy from the Mandel right Cauchy-Green rows ``C6 (n, 6)`` —
+        the 6-dim bottleneck the factored tangent differentiates (see
+        ``batched_update``); same invariant arithmetic as the F path."""
+        sq2 = 2.0**0.5
+        v = C6.T
+        d01, d02, d12 = v[3] / sq2, v[4] / sq2, v[5] / sq2
+        C = (
+            (v[0], d01, d02),
+            (d01, v[1], d12),
+            (d02, d12, v[2]),
+        )
+        return self._energy_from_Ct(C)
+
+    def _energy_from_Ct(self, C):
+        """Shared invariant-calculus energy core on a TUPLE-rep batched C."""
+        from ..ops import matfun_fm as fm
+
         J = jnp.sqrt(fm.t_det(C))
         W = 0.5 * self.K * (J - 1.0) ** 2
 
@@ -236,7 +262,24 @@ class Ogden(HyperelasticBehavior):
         Peak memory scales with the linearization residuals of one chunk plus
         one seed's replay: batches larger than ``tangent_chunk`` points are
         processed in lax.map chunks so multi-million-point assemblies stay
-        O(chunk), not O(n)."""
+        O(chunk), not O(n).
+
+        **Round-5 "c6" mode (default)**: the same factorization that cut the
+        FeFp tangent (models/finite_strain.py) — P = F S(C) with
+        S = 2 dW/dC factoring through the 6-dim symmetric C = F^T F, so
+
+            dP = dF S + F (H : dC),   dC = dF^T F + F^T dF,
+
+        with H = dS/dC the per-point symmetric 6x6 Hessian of the energy in
+        Mandel coordinates. Only H needs AD: 6 linearize-replay seeds of the
+        6-dim gradient map S(C6) instead of 9 seeds of the 9-dim dPK1/dF
+        (each replay also traverses a shorter graph — no grad-through-F^T F
+        wrap). dC per F-seed and the dF S / F dS wraps are closed-form
+        lane-resident FMAs. Parity vs the f9 path: shared-primal exact
+        (tests/test_ogden_c6_tangent.py); ``tangent_mode="f9"`` keeps the
+        old path for A/B."""
+        if getattr(self, "tangent_mode", "f9") == "c6":
+            return self._batched_update_c6(Fv, state, dt)
 
         def pk1_fn(x):
             return jax.grad(lambda y: jnp.sum(self.strain_energy_batched(y)))(x)
@@ -268,4 +311,82 @@ class Ogden(HyperelasticBehavior):
             Ct = jax.lax.map(
                 tangent_chunked, Fp.reshape(-1, chunk, 9)
             ).reshape(-1, 81)[:n]
+        return pk1, Ct, state
+
+    #: nonsym 9-vector order (matfun_fm conventions): index s -> (i_s, j_s)
+    _NONSYM_IJ = ((0, 0), (1, 1), (2, 2), (0, 1), (1, 0),
+                  (0, 2), (2, 0), (1, 2), (2, 1))
+
+    def _batched_update_c6(self, Fv, state, dt):
+        """Factored-through-C tangent (see ``batched_update`` docstring)."""
+        from ..ops import matfun_fm as fm
+
+        def s6_fn(C6):
+            # S = 2 dW/dC in Mandel coordinates (Mandel is an orthonormal
+            # basis of symmetric tensors, so grad wrt the 6 coords IS the
+            # Mandel representation of the tensor gradient)
+            return 2.0 * jax.grad(
+                lambda c: jnp.sum(self._energy_from_C6(c))
+            )(C6)
+
+        sq2 = 2.0**0.5
+
+        def chunk_update(Fc):
+            nc = Fc.shape[0]
+            dtype = Fc.dtype
+            F3 = fm.from_nonsym_rows(Fc)
+            C3 = fm.bmm(fm.transpose(F3), F3)
+            C6 = fm.to_sym_cols(C3).T  # (nc, 6) Mandel rows
+
+            s6, lin = jax.linearize(s6_fn, C6)
+            Hcols = jax.lax.map(
+                lambda s: lin(jnp.broadcast_to(s, C6.shape)),
+                jnp.eye(6, dtype=dtype),
+            )  # (6_in, nc, 6_out): Hcols[q, :, p] = H[p, q]
+
+            S3 = fm.from_sym_cols(s6.T)
+            P3 = fm.bmm(F3, S3)
+
+            zero = jnp.zeros(nc, dtype)
+            cols = []
+            for i, j in self._NONSYM_IJ:
+                # dC = e_j (x) h + h (x) e_j, h = F[i, :] — Mandel 6-vector
+                h = F3[i]
+                diag = [zero, zero, zero]
+                diag[j] = 2.0 * h[j]
+                off = [  # [12, 13, 23] Mandel slots
+                    sq2 * ((h[1] if j == 0 else zero)
+                           + (h[0] if j == 1 else zero)),
+                    sq2 * ((h[2] if j == 0 else zero)
+                           + (h[0] if j == 2 else zero)),
+                    sq2 * ((h[2] if j == 1 else zero)
+                           + (h[1] if j == 2 else zero)),
+                ]
+                dC6 = jnp.stack(diag + off)  # (6, nc)
+                dS6 = jnp.einsum("qnp,qn->pn", Hcols, dC6)
+                # dP = e_i (x) S3[j, :] + F dS
+                dP = fm.bmm(F3, fm.from_sym_cols(dS6))
+                ES = jnp.stack(
+                    [S3[j] if a == i else jnp.zeros_like(S3[j])
+                     for a in range(3)]
+                )
+                cols.append(fm.to_nonsym_rows(dP + ES))  # (nc, 9) out rows
+            Ct = jnp.stack(cols, axis=-1).reshape(nc, 81)
+            return fm.to_nonsym_rows(P3), Ct
+
+        n = Fv.shape[0]
+        chunk = int(self.tangent_chunk)
+        if n <= chunk:
+            pk1, Ct = chunk_update(Fv)
+        else:
+            n_pad = (-n) % chunk
+            Fp = Fv
+            if n_pad:
+                eye = jnp.tile(
+                    jnp.eye(3, dtype=Fv.dtype).reshape(1, 9), (n_pad, 1)
+                )
+                Fp = jnp.concatenate([Fv, eye], axis=0)
+            pk1, Ct = jax.lax.map(chunk_update, Fp.reshape(-1, chunk, 9))
+            pk1 = pk1.reshape(-1, 9)[:n]
+            Ct = Ct.reshape(-1, 81)[:n]
         return pk1, Ct, state
