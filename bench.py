@@ -55,6 +55,12 @@ PHASES = [
 ]
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1500.0))
 MIN_SLICE_S = 120.0
+#: manual long-window captures can stretch every phase slice (the driver's
+#: run keeps the default 1x); cold fused-3D compiles under a slow tunnel
+#: need ~15-20 min, which no 1500s-budget slicing can grant
+_scale = float(os.environ.get("BENCH_PHASE_SCALE", 1.0))
+if _scale != 1.0:
+    PHASES = [(n, t * _scale) for n, t in PHASES]
 
 #: the primary key each phase owns — set to "failed: ..." when the phase
 #: produced nothing, so consumers always see the row
